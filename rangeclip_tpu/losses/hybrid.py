@@ -1,0 +1,118 @@
+"""Hybrid loss: W_text * L_text + W_image * L_image + W_smooth * L_smooth.
+
+Reference: model.py:178-355 (weights default 1.0 / 0.5 / 2e2,
+train_util.py:88-91).  Pure function of (embeddings, batch, tables, rng);
+returns the total plus a loss-info dict of scalars mirroring the
+reference's ``loss_info`` (model.py:343-353).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rangeclip_tpu.losses.infonce import (
+    area_image_infonce,
+    build_contrast_mask,
+    pixel_text_infonce,
+    sample_pixels,
+)
+from rangeclip_tpu.losses.smoothness import total_variation_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridLossConfig:
+    w_text: float = 1.0
+    w_image: float = 0.5
+    w_smooth: float = 2e2
+    percent_image_sampling: float = 0.7
+    k_distractors: int = 50
+
+
+def compute_hybrid_loss(
+    rng: jax.Array,
+    pixel_embeddings: jax.Array,
+    target_indices: jax.Array,
+    candidate_text_embeddings: jax.Array,
+    medium_matrix: jax.Array,
+    hard_matrix: jax.Array,
+    temperature_text: jax.Array,
+    temperature_image: jax.Array,
+    pct_medium: jax.Array | float,
+    pct_hard: jax.Array | float,
+    area_embeddings: Optional[jax.Array] = None,
+    image_embeddings: Optional[jax.Array] = None,
+    area_valid: Optional[jax.Array] = None,
+    config: HybridLossConfig = HybridLossConfig(),
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Full hybrid loss (model.py:178-355).
+
+    Args:
+      rng: key consumed for pixel sampling + distractor draws.
+      pixel_embeddings: [B, H, W, D] decoder output (already L2-normalized).
+      target_indices: [B, H, W] int segmentation labels.
+      candidate_text_embeddings: [C, D] frozen CLIP text table (unnormalized).
+      medium_matrix / hard_matrix: [C, C] bool similarity sets.
+      pct_medium / pct_hard: curriculum fractions (traced scalars OK).
+      area_embeddings / image_embeddings / area_valid: [B, D], [B, D], [B]
+        for the area-image pathway; pass None to disable (W_image term -> 0,
+        matching the reference's dummy-loss branch, model.py:322-326).
+    """
+    cfg = config
+    num_classes = candidate_text_embeddings.shape[0]
+
+    text_loss = jnp.float32(0.0)
+    if cfg.w_text > 0:
+        key_pix, key_contrast = jax.random.split(rng)
+        samples, labels, valid = sample_pixels(
+            key_pix, pixel_embeddings, target_indices, cfg.percent_image_sampling
+        )
+        contrast_mask = build_contrast_mask(
+            key_contrast,
+            labels,
+            valid,
+            num_classes,
+            medium_matrix,
+            hard_matrix,
+            cfg.k_distractors,
+            pct_medium,
+            pct_hard,
+        )
+        text_loss = pixel_text_infonce(
+            samples, labels, valid, candidate_text_embeddings, contrast_mask,
+            temperature_text,
+        )
+
+    image_loss = jnp.float32(0.0)
+    if (
+        cfg.w_image > 0
+        and area_embeddings is not None
+        and image_embeddings is not None
+    ):
+        if area_valid is None:
+            area_valid = jnp.ones((area_embeddings.shape[0],), jnp.float32)
+        image_loss = area_image_infonce(
+            area_embeddings, image_embeddings, area_valid, temperature_image
+        )
+
+    smooth_loss = jnp.float32(0.0)
+    if cfg.w_smooth > 0:
+        smooth_loss = total_variation_loss(pixel_embeddings)
+
+    total = cfg.w_text * text_loss + cfg.w_image * image_loss + cfg.w_smooth * smooth_loss
+
+    loss_info = {
+        "total_loss": total,
+        "text_contrastive_loss": text_loss,
+        "image_contrastive_loss": image_loss,
+        "smoothness_loss": smooth_loss,
+        "temperature_text": temperature_text,
+        "temperature_image": temperature_image,
+        "W_text": jnp.float32(cfg.w_text),
+        "W_image": jnp.float32(cfg.w_image),
+        "W_smooth": jnp.float32(cfg.w_smooth),
+    }
+    return total, loss_info

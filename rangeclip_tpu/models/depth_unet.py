@@ -1,0 +1,189 @@
+"""DepthUNet: depth-map -> per-pixel CLIP-space embedding field.
+
+Reference: RangeCLIP/src/depth_segmentation_model/model.py:59-405 —
+  * owns the ResNet encoder + UNet decoder (:80-103);
+  * learnable log-temperatures, init log(0.07) text / log(0.1) image
+    (:77-78);
+  * ``forward`` returns (pixel_embeddings, temp_text, temp_image)
+    (:108-117);
+  * ``predict`` scores pixels against a reduced candidate set (GT labels
+    plus sampled negatives) and returns top-k global label indices
+    (:119-175).
+
+TPU-native reformulation of ``predict``: instead of materializing a
+dynamically-sized reduced embedding table (torch gathers a python-sorted
+index list, model.py:147-161), we score against the FULL static [C, D] table
+and mask non-candidate classes to -inf before top-k.  Cross-candidate-set
+argmax/top-k over a masked score vector is mathematically identical to
+top-k over the gathered subset, but keeps every shape static so the whole
+path compiles once and the matmul tiles onto the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rangeclip_tpu.models.decoder import DepthDecoder
+from rangeclip_tpu.models.encoder import DepthEncoder
+from rangeclip_tpu.utils.math import l2_normalize
+
+NEG_INF = jnp.float32(-1e30)
+
+
+@dataclasses.dataclass(frozen=True)
+class DepthUNetConfig:
+    """Canonical hyperparameters (train_util.py:133-144 + launcher)."""
+
+    unet_type: str = "resnet"
+    n_layer: int = 18
+    input_channels: int = 1
+    encoder_filters: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    embedding_dim: int = 512
+    weight_initializer: str = "kaiming_uniform"
+    activation: str = "relu"
+    use_batch_norm: bool = True
+    use_instance_norm: bool = False
+    temperature_text: float = 0.07
+    temperature_image: float = 0.1
+    dtype: Optional[Any] = None  # compute dtype; None -> fp32
+    bn_axis_name: Optional[str] = None
+
+
+class DepthUNet(nn.Module):
+    config: DepthUNetConfig = DepthUNetConfig()
+
+    def setup(self):
+        cfg = self.config
+        if cfg.unet_type != "resnet":
+            raise ValueError(f"Unsupported depth encoder type: {cfg.unet_type}")
+        self.depth_encoder = DepthEncoder(
+            n_layer=cfg.n_layer,
+            n_filters=cfg.encoder_filters,
+            embedding_dim=cfg.embedding_dim,
+            weight_initializer=cfg.weight_initializer,
+            activation=cfg.activation,
+            use_batch_norm=cfg.use_batch_norm,
+            use_instance_norm=cfg.use_instance_norm,
+            bn_axis_name=cfg.bn_axis_name,
+            dtype=cfg.dtype,
+        )
+        self.depth_decoder = DepthDecoder(
+            n_filters=tuple(reversed(cfg.encoder_filters)),
+            embedding_dim=cfg.embedding_dim,
+            weight_initializer=cfg.weight_initializer,
+            activation=cfg.activation,
+            use_batch_norm=cfg.use_batch_norm,
+            use_instance_norm=cfg.use_instance_norm,
+            bn_axis_name=cfg.bn_axis_name,
+            dtype=cfg.dtype,
+        )
+        self.log_temperature_text = self.param(
+            "log_temperature_text",
+            lambda key: jnp.log(jnp.float32(self.config.temperature_text)),
+        )
+        self.log_temperature_image = self.param(
+            "log_temperature_image",
+            lambda key: jnp.log(jnp.float32(self.config.temperature_image)),
+        )
+
+    def __call__(
+        self, depth: jax.Array, train: bool = False
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Forward pass.  depth: [B, H, W] or [B, H, W, 1] (NHWC).
+
+        Returns (pixel_embeddings [B, H, W, D], temp_text, temp_image).
+        """
+        if depth.ndim == 3:
+            depth = depth[..., None]
+        target_shape = depth.shape[1:3]
+        _, encoder_features, final_feature_map = self.depth_encoder(depth, train)
+        pixel_embeddings = self.depth_decoder(
+            final_feature_map, encoder_features, target_shape, train
+        )
+        return (
+            pixel_embeddings,
+            jnp.exp(self.log_temperature_text),
+            jnp.exp(self.log_temperature_image),
+        )
+
+    def embed(self, depth: jax.Array, train: bool = False) -> jax.Array:
+        """Pixel embeddings only (inference helper)."""
+        return self(depth, train)[0]
+
+    def predict(
+        self,
+        depth: jax.Array,
+        candidate_text_embeddings: jax.Array,
+        candidate_mask: jax.Array,
+        top_k: int = 5,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Reduced-candidate top-k prediction (model.py:119-175).
+
+        Args:
+          depth: [B, H, W(, 1)] depth maps.
+          candidate_text_embeddings: full text table [C, D] (unnormalized).
+          candidate_mask: [C] bool — True for classes in the reduced set
+            (GT labels + sampled negatives); build it with
+            :func:`build_candidate_mask`.
+          top_k: number of top labels per pixel.
+
+        Returns:
+          (topk_pred_indices [B, H, W, k] int32 in the global label space,
+           pixel_embeddings [B, H, W, D] L2-normalized,
+           temperature_text scalar).
+        """
+        pixel_embeddings, temp_text, _ = self(depth, train=False)
+        pixel_embeddings = l2_normalize(pixel_embeddings, axis=-1)
+
+        text = l2_normalize(candidate_text_embeddings.astype(jnp.float32), axis=-1)
+        logits = jnp.einsum(
+            "bhwd,cd->bhwc",
+            pixel_embeddings.astype(jnp.float32),
+            text,
+            preferred_element_type=jnp.float32,
+        )
+        logits = jnp.where(candidate_mask[None, None, None, :], logits, NEG_INF)
+        _, topk_indices = jax.lax.top_k(logits, top_k)
+        return topk_indices, pixel_embeddings, temp_text
+
+
+def build_candidate_mask(
+    key: jax.Array,
+    segmentation: jax.Array,
+    num_classes: int,
+    num_negatives: int,
+) -> jax.Array:
+    """Reduced candidate set as a static boolean mask over all C classes.
+
+    Reference semantics (model.py:147-156): candidates = unique labels in the
+    ground-truth segmentation plus ``num_negatives`` labels sampled uniformly
+    without replacement from the complement.  Sampling without replacement is
+    done with the Gumbel-top-k trick over masked scores; when the complement
+    is smaller than ``num_negatives`` every non-GT class is included (the
+    reference's ``min(num_negatives, len(pool))``).
+
+    Args:
+      key: PRNG key.
+      segmentation: [B, H, W] (or any shape) int labels.
+      num_classes: C, static.
+      num_negatives: static int.
+
+    Returns: [C] bool mask.
+    """
+    flat = segmentation.reshape(-1)
+    gt_mask = jnp.zeros((num_classes,), jnp.bool_).at[flat].set(True)
+
+    gumbel = jax.random.gumbel(key, (num_classes,))
+    scores = jnp.where(gt_mask, -jnp.inf, gumbel)
+    k = min(num_negatives, num_classes)
+    _, neg_idx = jax.lax.top_k(scores, k)
+    # Keep only finite-score picks (i.e. genuine non-GT classes).
+    picked_scores, _ = jax.lax.top_k(scores, k)
+    valid = jnp.isfinite(picked_scores)
+    neg_mask = jnp.zeros((num_classes,), jnp.bool_).at[neg_idx].max(valid)
+    return gt_mask | neg_mask

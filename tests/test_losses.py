@@ -1,0 +1,222 @@
+"""Loss-stack tests: masked static-shape formulations must match dense
+reference-style oracles computed with numpy/torch on the same selections."""
+
+import numpy as np
+import torch
+import torch.nn.functional as TF
+import jax
+import jax.numpy as jnp
+
+from rangeclip_tpu.losses.infonce import (
+    area_image_infonce,
+    build_contrast_mask,
+    pixel_text_infonce,
+    sample_pixels,
+)
+from rangeclip_tpu.losses.pooling import masked_average_pooling, per_item_masked_pooling
+from rangeclip_tpu.losses.smoothness import total_variation_loss
+from rangeclip_tpu.losses.hybrid import HybridLossConfig, compute_hybrid_loss
+
+
+def test_pixel_text_infonce_equals_reduced_set_ce():
+    """Masked full-C CE == torch CE over the gathered contrast subset
+    (reference model.py:271-291 semantics)."""
+    rng = np.random.default_rng(0)
+    N, C, D = 64, 20, 16
+    samples = rng.standard_normal((N, D)).astype(np.float32)
+    text = rng.standard_normal((C, D)).astype(np.float32)
+    labels = rng.integers(1, 8, size=N)
+    valid = (rng.random(N) > 0.3).astype(np.float32)
+    contrast = np.zeros(C, bool)
+    contrast[1:8] = True  # all labels present
+    contrast[[10, 12, 15]] = True  # distractors
+    temp = 0.07
+
+    got = float(
+        pixel_text_infonce(
+            jnp.asarray(samples), jnp.asarray(labels), jnp.asarray(valid),
+            jnp.asarray(text), jnp.asarray(contrast), jnp.float32(temp),
+        )
+    )
+
+    # torch oracle on the packed valid subset with a gathered table
+    contrast_idx = np.where(contrast)[0]
+    remap = {c: i for i, c in enumerate(contrast_idx)}
+    keep = valid > 0
+    s = torch.from_numpy(samples[keep])
+    t = torch.from_numpy(text[contrast_idx])
+    y = torch.tensor([remap[int(l)] for l in labels[keep]])
+    logits = TF.normalize(s, dim=1) @ TF.normalize(t, dim=1).T / temp
+    want = TF.cross_entropy(logits, y).item()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_pixel_text_infonce_degenerate_cases():
+    N, C, D = 8, 10, 4
+    samples = jnp.ones((N, D))
+    labels = jnp.ones((N,), jnp.int32)
+    text = jnp.ones((C, D))
+    # fewer than 2 contrast classes -> 0
+    one_class = jnp.zeros((C,), bool).at[1].set(True)
+    assert float(pixel_text_infonce(samples, labels, jnp.ones(N), text, one_class,
+                                    jnp.float32(0.07))) == 0.0
+    # no valid samples -> 0
+    full = jnp.ones((C,), bool)
+    assert float(pixel_text_infonce(samples, labels, jnp.zeros(N), text, full,
+                                    jnp.float32(0.07))) == 0.0
+
+
+def test_area_image_infonce_matches_packed_torch():
+    rng = np.random.default_rng(1)
+    B, D = 6, 8
+    area = rng.standard_normal((B, D)).astype(np.float32)
+    img = rng.standard_normal((B, D)).astype(np.float32)
+    valid = np.array([1, 1, 0, 1, 1, 0], np.float32)
+    temp = 0.1
+
+    got = float(area_image_infonce(jnp.asarray(area), jnp.asarray(img),
+                                   jnp.asarray(valid), jnp.float32(temp)))
+
+    keep = valid > 0
+    a = TF.normalize(torch.from_numpy(area[keep]), dim=1)
+    i = TF.normalize(torch.from_numpy(img[keep]), dim=1)
+    logits = a @ i.T / temp
+    want = TF.cross_entropy(logits, torch.arange(int(keep.sum()))).item()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # <2 valid instances -> 0 (reference dummy branch model.py:322-326)
+    assert float(area_image_infonce(jnp.asarray(area), jnp.asarray(img),
+                                    jnp.asarray(np.eye(1, B, 0)[0].astype(np.float32)),
+                                    jnp.float32(temp))) == 0.0
+
+
+def test_total_variation_matches_torch_l1():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 9, 11, 5)).astype(np.float32)
+    got = float(total_variation_loss(jnp.asarray(x)))
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    want = (
+        TF.l1_loss(xt[:, :, :, :-1], xt[:, :, :, 1:])
+        + TF.l1_loss(xt[:, :, :-1, :], xt[:, :, 1:, :])
+    ).item()
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_masked_average_pooling_matches_loop_oracle():
+    rng = np.random.default_rng(3)
+    B, H, W, D = 2, 6, 5, 7
+    emb = rng.standard_normal((B, H, W, D)).astype(np.float32)
+    seg = rng.integers(0, 4, size=(B, H, W))
+    obj = np.array([1, 3, 9])  # 9 absent -> zero row
+
+    got = np.asarray(masked_average_pooling(jnp.asarray(emb), jnp.asarray(seg),
+                                            jnp.asarray(obj)))
+    want = np.zeros((3, D), np.float32)
+    for i, o in enumerate(obj):
+        m = seg == o
+        if m.any():
+            want[i] = emb[m].sum(0) / m.sum()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_per_item_masked_pooling():
+    rng = np.random.default_rng(4)
+    B, H, W, D = 3, 4, 4, 5
+    emb = rng.standard_normal((B, H, W, D)).astype(np.float32)
+    seg = rng.integers(0, 3, size=(B, H, W))
+    labels = np.array([1, 2, 7])  # 7 absent in item 2 -> zero row
+
+    got = np.asarray(per_item_masked_pooling(jnp.asarray(emb), jnp.asarray(seg),
+                                             jnp.asarray(labels)))
+    for b in range(B):
+        m = seg[b] == labels[b]
+        want = emb[b][m].sum(0) / m.sum() if m.any() else np.zeros(D)
+        np.testing.assert_allclose(got[b], want, rtol=1e-5, atol=1e-6)
+
+
+def test_sample_pixels_shapes_and_background_mask():
+    key = jax.random.key(0)
+    emb = jnp.ones((2, 8, 8, 4))
+    tgt = jnp.zeros((2, 8, 8), jnp.int32).at[:, :4].set(3)
+    samples, labels, valid = sample_pixels(key, emb, tgt, 0.7)
+    n = int(0.7 * 64)
+    assert samples.shape == (2 * n, 4)
+    assert labels.shape == (2 * n,)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(labels) > 0)
+
+
+def test_build_contrast_mask_composition():
+    """GT labels always in; distractor count respects the curriculum; medium
+    pool only used when n_medium > 0."""
+    C = 40
+    labels = jnp.array([1, 2, 2, 3])
+    valid = jnp.ones((4,), jnp.float32)
+    medium = np.zeros((C, C), bool)
+    hard = np.zeros((C, C), bool)
+    medium[1, 10:15] = True  # medium set of label 1
+    hard[2, 20:25] = True  # hard set of label 2
+    hard[3, 2] = True  # in-GT distractor must be excluded
+
+    key = jax.random.key(1)
+    mask = np.asarray(
+        build_contrast_mask(
+            key, labels, valid, C, jnp.asarray(medium), jnp.asarray(hard),
+            k_distractors=8, pct_medium=0.0, pct_hard=0.5,
+        )
+    )
+    assert mask[[1, 2, 3]].all()  # GT present
+    # n_hard=4 -> pool is hard-union(20..25) minus GT; no medium classes
+    assert not mask[10:15].any()
+    assert mask[20:25].sum() == 4
+    # n_rand = 8 - 0 - 4 = 4 random distractors from elsewhere
+    assert mask.sum() == 3 + 4 + 4
+
+    # pct_medium > 0 activates the medium pool
+    mask2 = np.asarray(
+        build_contrast_mask(
+            key, labels, valid, C, jnp.asarray(medium), jnp.asarray(hard),
+            k_distractors=8, pct_medium=0.5, pct_hard=0.25,
+        )
+    )
+    # n_medium=4, n_hard=2 -> 6 from medium∪hard pool (9 classes), 2 random
+    assert mask2[[1, 2, 3]].all()
+    assert (mask2[10:15].sum() + mask2[20:25].sum()) == 6
+    assert mask2.sum() == 3 + 6 + 2
+
+
+def test_hybrid_loss_composes_and_is_finite():
+    key = jax.random.key(0)
+    B, H, W, D, C = 2, 16, 16, 8, 30
+    k1, k2, k3 = jax.random.split(key, 3)
+    emb = jax.random.normal(k1, (B, H, W, D))
+    seg = jax.random.randint(k2, (B, H, W), 0, 5)
+    text = jax.random.normal(k3, (C, D))
+    medium = jnp.zeros((C, C), bool)
+    hard = jnp.zeros((C, C), bool)
+
+    total, info = compute_hybrid_loss(
+        key, emb, seg, text, medium, hard,
+        temperature_text=jnp.float32(0.07), temperature_image=jnp.float32(0.1),
+        pct_medium=0.25, pct_hard=0.5,
+        area_embeddings=jax.random.normal(k1, (B, D)),
+        image_embeddings=jax.random.normal(k2, (B, D)),
+        area_valid=jnp.ones((B,)),
+        config=HybridLossConfig(),
+    )
+    assert np.isfinite(float(total))
+    expected = (
+        1.0 * float(info["text_contrastive_loss"])
+        + 0.5 * float(info["image_contrastive_loss"])
+        + 2e2 * float(info["smoothness_loss"])
+    )
+    np.testing.assert_allclose(float(total), expected, rtol=1e-5)
+    # loss must be differentiable end-to-end
+    grad = jax.grad(
+        lambda e: compute_hybrid_loss(
+            key, e, seg, text, medium, hard,
+            temperature_text=jnp.float32(0.07),
+            temperature_image=jnp.float32(0.1),
+            pct_medium=0.25, pct_hard=0.5,
+        )[0]
+    )(emb)
+    assert np.isfinite(np.asarray(grad)).all()

@@ -1,0 +1,87 @@
+"""Throughput benchmark — depth maps/sec/chip at 256x256 segmentation
+inference (the BASELINE.json north-star metric).
+
+Measures the full flagship inference path on one chip: ResNet-18 DepthUNet
+forward (512-dim CLIP space) + L2 normalize + pixel x text scoring against a
+512-class candidate table + top-5, i.e. the fused equivalent of the
+reference's predict (model.py:119-175).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+The denominator below is an engineering estimate of the reference PyTorch
+pipeline on its development GPU: the fp16 UNet forward at 256^2 is ~21
+GFLOPs/map; at the 25-35% utilization typical of small-batch conv stacks on
+a mid-range training GPU plus the un-fused predict epilogue, that is ~300
+maps/s.  Treat vs_baseline as indicative until a measured GPU baseline
+lands in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REF_BASELINE_MAPS_PER_SEC = 300.0
+
+BATCH = 8
+RES = 256
+NUM_CLASSES = 512
+TOP_K = 5
+WARMUP = 3
+ITERS = 20
+
+
+def main() -> None:
+    from rangeclip_tpu.models.depth_unet import (
+        DepthUNet,
+        DepthUNetConfig,
+        build_candidate_mask,
+    )
+
+    cfg = DepthUNetConfig(use_batch_norm=True, dtype=jnp.bfloat16)
+    model = DepthUNet(cfg)
+
+    key = jax.random.key(0)
+    depth = jax.random.normal(key, (BATCH, RES, RES, 1), jnp.float32)
+    variables = model.init(jax.random.key(1), depth, train=False)
+    text = jax.random.normal(jax.random.key(2), (NUM_CLASSES, 512), jnp.float32)
+    seg = jax.random.randint(jax.random.key(3), (BATCH, RES, RES), 0, 40)
+    cand = build_candidate_mask(jax.random.key(4), seg, NUM_CLASSES, 300)
+
+    @jax.jit
+    def predict(variables, depth, text, cand):
+        topk, emb, _ = model.apply(
+            variables, depth, text, cand, TOP_K, method=DepthUNet.predict
+        )
+        return topk
+
+    out = predict(variables, depth, text, cand)
+    jax.block_until_ready(out)
+    for _ in range(WARMUP - 1):
+        jax.block_until_ready(predict(variables, depth, text, cand))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = predict(variables, depth, text, cand)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    maps_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "depth maps/sec/chip @ 256^2 seg inference (fwd+score+top5)",
+                "value": round(maps_per_sec, 2),
+                "unit": "maps/s",
+                "vs_baseline": round(maps_per_sec / REF_BASELINE_MAPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

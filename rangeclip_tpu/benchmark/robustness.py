@@ -1,0 +1,88 @@
+"""Brightness/saturation robustness sweep.
+
+Reference: benchmark/segclip.py — sweeps PIL ImageEnhance brightness and
+saturation (color) levels over sampled images, prompts each sample's GT
+labels plus 20 distractors, and reports equivalence-aware top-1/top-k
+accuracy and mIoU per perturbation level (:23-28, 51-58, 60-140, 353-455).
+
+This harness is generic over the segmenter: plug in any
+``predict_fn(rng, batch, enhanced_image) -> [B, H, W, k] label indices`` —
+the depth model (perturbations only affect the RGB used for prompts/crops),
+the MaskCLIP dense probe (evals/baselines.py), or an external CLIPSeg-style
+model.  Enhancement math replicates PIL.ImageEnhance semantics:
+  brightness(f): img * f
+  color(f):      grayscale + f * (img - grayscale), L = 0.299R+0.587G+0.114B
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rangeclip_tpu.evals.metrics import metrics_finalize, metrics_init, metrics_update
+
+
+def enhance_brightness(image: np.ndarray, factor: float) -> np.ndarray:
+    """image [H, W, 3] float in [0, 1]."""
+    return np.clip(image * factor, 0.0, 1.0)
+
+
+def enhance_saturation(image: np.ndarray, factor: float) -> np.ndarray:
+    lum = (
+        0.299 * image[..., 0] + 0.587 * image[..., 1] + 0.114 * image[..., 2]
+    )[..., None]
+    return np.clip(lum + factor * (image - lum), 0.0, 1.0)
+
+
+def robustness_sweep(
+    dataloader_factory: Callable[[], object],
+    predict_fn: Callable,
+    equivalence_tensor,
+    equiv_class_map,
+    num_classes: int,
+    brightness_levels: Sequence[float] = (1.0, 0.5, 0.2, 0.1, 0.05, 0.02, 0.01),
+    saturation_levels: Sequence[float] = (1.0,),
+    seed: int = 0,
+) -> List[Dict]:
+    """Run the sweep; returns one result row per (brightness, saturation)."""
+    et = jnp.asarray(equivalence_tensor)
+    ecm = jnp.asarray(equiv_class_map)
+    update = jax.jit(metrics_update)
+    results = []
+    rng = jax.random.key(seed)
+
+    for b in brightness_levels:
+        for s in saturation_levels:
+            acc = metrics_init(num_classes)
+            for i, batch in enumerate(dataloader_factory()):
+                image = np.stack(
+                    [
+                        enhance_saturation(enhance_brightness(img, b), s)
+                        for img in batch["image"]
+                    ]
+                )
+                pred = predict_fn(jax.random.fold_in(rng, i), batch, image)
+                acc = update(
+                    acc, pred, jnp.asarray(batch["segmentation"]), et, ecm,
+                    pixel_weight=jnp.asarray(batch["sample_valid"]),
+                )
+            row = metrics_finalize(acc)
+            row.update(brightness=b, saturation=s)
+            results.append(row)
+    return results
+
+
+def format_results_table(results: List[Dict]) -> str:
+    lines = [
+        "brightness saturation  acc_t1  acc_tk  mIoU_t1  mIoU_tk",
+    ]
+    for r in results:
+        lines.append(
+            f"{r['brightness']:10.2f} {r['saturation']:10.2f} "
+            f"{r['pixel_accuracy_t1']:7.4f} {r['pixel_accuracy_tk']:7.4f} "
+            f"{r['mIoU_t1']:8.4f} {r['mIoU_tk']:8.4f}"
+        )
+    return "\n".join(lines)

@@ -1,0 +1,205 @@
+"""Validation harness.
+
+Reference: validate.py:34-266 — per val batch: reduced-candidate predict
+(50 negatives, top-5), equivalence-aware accuracy/mIoU accumulation,
+qualitative grids, and a full val-loss recomputation including the
+area-image pathway; aggregates, logs, and tracks best results keyed on
+top-k mIoU (validate.py:234-244).
+
+TPU-native design: one jitted ``val_step`` fuses predict + metric update +
+loss for a whole batch; accumulators live on device and cross the host once
+at the end.  Candidate-negative sampling and curriculum distractor draws
+use explicit keys folded per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rangeclip_tpu.evals.metrics import metrics_finalize, metrics_init, metrics_update
+from rangeclip_tpu.losses.hybrid import HybridLossConfig, compute_hybrid_loss
+from rangeclip_tpu.losses.pooling import per_item_masked_pooling
+from rangeclip_tpu.models.clip.crops import prepare_image_crops
+from rangeclip_tpu.models.depth_unet import DepthUNet, build_candidate_mask
+from rangeclip_tpu.utils.logging import log
+
+
+def make_val_step(
+    model: DepthUNet,
+    loss_config: HybridLossConfig = HybridLossConfig(),
+    top_k: int = 5,
+    num_negatives: int = 50,
+) -> Callable:
+    """Build the fused per-batch validation step (jitted once)."""
+
+    def val_step(
+        params,
+        batch_stats,
+        batch: Dict[str, jax.Array],
+        rng: jax.Array,
+        pct_medium: jax.Array,
+        pct_hard: jax.Array,
+        text_table: jax.Array,
+        medium_matrix: jax.Array,
+        hard_matrix: jax.Array,
+        equivalence_tensor: jax.Array,
+        equiv_class_map: jax.Array,
+        image_embeddings: jax.Array,
+        acc: Dict[str, jax.Array],
+    ):
+        variables = {"params": params, "batch_stats": batch_stats}
+        num_classes = text_table.shape[0]
+        key_cand, key_loss = jax.random.split(rng)
+
+        cand_mask = build_candidate_mask(
+            key_cand, batch["segmentation"], num_classes, num_negatives
+        )
+        pred_topk, pixel_emb, _ = model.apply(
+            variables, batch["depth"], text_table, cand_mask, top_k,
+            method=DepthUNet.predict,
+        )
+        acc = metrics_update(
+            acc, pred_topk, batch["segmentation"], equivalence_tensor,
+            equiv_class_map, pixel_weight=batch["sample_valid"],
+        )
+
+        temps = {
+            "t": jnp.exp(params["log_temperature_text"]),
+            "i": jnp.exp(params["log_temperature_image"]),
+        }
+        area_emb = per_item_masked_pooling(
+            pixel_emb, batch["segmentation"], batch["object_label"]
+        )
+        total, info = compute_hybrid_loss(
+            key_loss,
+            pixel_emb,
+            batch["segmentation"],
+            text_table,
+            medium_matrix,
+            hard_matrix,
+            temperature_text=temps["t"],
+            temperature_image=temps["i"],
+            pct_medium=pct_medium,
+            pct_hard=pct_hard,
+            area_embeddings=area_emb,
+            image_embeddings=image_embeddings,
+            area_valid=batch["sample_valid"],
+            sample_weight=batch["sample_valid"],
+            config=loss_config,
+        )
+        loss_parts = jnp.stack(
+            [
+                info["total_loss"],
+                info["text_contrastive_loss"],
+                info["image_contrastive_loss"],
+                info["smoothness_loss"],
+            ]
+        )
+        return acc, loss_parts, pred_topk
+
+    return jax.jit(val_step)
+
+
+def validate_model(
+    model: DepthUNet,
+    params,
+    batch_stats,
+    dataloader,
+    text_table: jax.Array,
+    medium_matrix: jax.Array,
+    hard_matrix: jax.Array,
+    equivalence_tensor: jax.Array,
+    equiv_class_map: jax.Array,
+    curriculum: Dict[str, float],
+    image_provider,
+    step: int,
+    best_results: Dict,
+    rng: jax.Array,
+    loss_config: HybridLossConfig = HybridLossConfig(),
+    top_k: int = 5,
+    num_negatives: int = 50,
+    log_path: Optional[str] = None,
+    summary_writer=None,
+    val_step_fn: Optional[Callable] = None,
+) -> Dict:
+    """Run the full validation loop; returns updated ``best_results``."""
+    num_classes = text_table.shape[0]
+    if val_step_fn is None:
+        val_step_fn = make_val_step(model, loss_config, top_k, num_negatives)
+
+    acc = metrics_init(num_classes)
+    loss_sums = jnp.zeros((4,), jnp.float32)
+    n_batches = 0
+
+    for i, batch in enumerate(dataloader):
+        jbatch = {
+            "depth": jnp.asarray(batch["depth"]),
+            "segmentation": jnp.asarray(batch["segmentation"]),
+            "object_label": jnp.asarray(batch["object_label"]),
+            "sample_valid": jnp.asarray(batch["sample_valid"]),
+        }
+        crops = prepare_image_crops(
+            jnp.asarray(batch["image"]), jnp.asarray(batch["object_bbox"])
+        )
+        image_embeddings = jnp.asarray(image_provider(crops))
+
+        acc, loss_parts, _ = val_step_fn(
+            params, batch_stats, jbatch, jax.random.fold_in(rng, i),
+            jnp.float32(curriculum["pct_medium"]), jnp.float32(curriculum["pct_hard"]),
+            text_table, medium_matrix, hard_matrix,
+            equivalence_tensor, equiv_class_map, image_embeddings, acc,
+        )
+        loss_sums = loss_sums + loss_parts
+        n_batches += 1
+
+    results = metrics_finalize(acc)
+    avg = np.asarray(loss_sums) / max(n_batches, 1)
+    results.update(
+        avg_loss=float(avg[0]),
+        avg_text_contrastive_loss=float(avg[1]),
+        avg_image_contrastive_loss=float(avg[2]),
+        avg_smoothness_loss=float(avg[3]),
+    )
+
+    log(f"[Val] [Step {step}] Top-1 pixel accuracy (equiv): "
+        f"{results['pixel_accuracy_t1']:.4f}", log_path)
+    log(f"[Val] [Step {step}] Top-k pixel accuracy (equiv): "
+        f"{results['pixel_accuracy_tk']:.4f}", log_path)
+    log(f"[Val] [Step {step}] Top-1 mIoU (equiv): {results['mIoU_t1']:.4f}", log_path)
+    log(f"[Val] [Step {step}] Top-k mIoU (equiv): {results['mIoU_tk']:.4f}", log_path)
+    log(
+        f"[Val] Step {step} | Loss: {results['avg_loss']:.4f}, "
+        f"Text Contrastive: {results['avg_text_contrastive_loss']:.4f}, "
+        f"Image Contrastive: {results['avg_image_contrastive_loss']:.4f}, "
+        f"Smoothness: {results['avg_smoothness_loss']:.4f}",
+        log_path,
+    )
+
+    # Best-result tracking keyed on top-k mIoU (validate.py:234-244)
+    if best_results.get("mIoU_tk", 0.0) < results["mIoU_tk"]:
+        best_results.update(
+            step=step,
+            loss=results["avg_loss"],
+            mIoU_t1=results["mIoU_t1"],
+            mIoU_tk=results["mIoU_tk"],
+            pixel_accuracy_t1=results["pixel_accuracy_t1"],
+            pixel_accuracy_tk=results["pixel_accuracy_tk"],
+            avg_text_contrastive_loss=results["avg_text_contrastive_loss"],
+            avg_image_contrastive_loss=results["avg_image_contrastive_loss"],
+            avg_smoothness_loss=results["avg_smoothness_loss"],
+        )
+    if "loss" in best_results and best_results.get("step", -1) >= 0:
+        log(
+            f"Best validation loss: {best_results['loss']:.4f} at step "
+            f"{best_results['step']}",
+            log_path,
+        )
+
+    if summary_writer is not None:
+        summary_writer.add_scalars("val", results, step)
+
+    return best_results

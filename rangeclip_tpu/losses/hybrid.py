@@ -46,6 +46,7 @@ def compute_hybrid_loss(
     area_embeddings: Optional[jax.Array] = None,
     image_embeddings: Optional[jax.Array] = None,
     area_valid: Optional[jax.Array] = None,
+    sample_weight: Optional[jax.Array] = None,
     config: HybridLossConfig = HybridLossConfig(),
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Full hybrid loss (model.py:178-355).
@@ -60,6 +61,8 @@ def compute_hybrid_loss(
       area_embeddings / image_embeddings / area_valid: [B, D], [B, D], [B]
         for the area-image pathway; pass None to disable (W_image term -> 0,
         matching the reference's dummy-loss branch, model.py:322-326).
+      sample_weight: optional [B] float mask — 0 drops a batch item from the
+        pixel-text loss (used for fixed-shape padded final batches).
     """
     cfg = config
     num_classes = candidate_text_embeddings.shape[0]
@@ -70,6 +73,10 @@ def compute_hybrid_loss(
         samples, labels, valid = sample_pixels(
             key_pix, pixel_embeddings, target_indices, cfg.percent_image_sampling
         )
+        if sample_weight is not None:
+            B = pixel_embeddings.shape[0]
+            n_per_item = valid.shape[0] // B
+            valid = valid * jnp.repeat(sample_weight.astype(jnp.float32), n_per_item)
         contrast_mask = build_contrast_mask(
             key_contrast,
             labels,

@@ -1,0 +1,112 @@
+"""Fused pixel x text scoring + masked top-k (Pallas TPU kernel).
+
+The reference's predict epilogue (model.py:144,161-169) is: L2-normalize
+pixel embeddings, L2-normalize the reduced text table, a [B*H*W, D] x
+[D, C] matmul, then top-k over C.  Under XLA this lowers to a matmul
+followed by a generic sort-based top-k with the [N, C] logits round-tripping
+through HBM.
+
+This kernel keeps a [TILE_N, C] score tile in VMEM end-to-end: normalize
+the pixel tile (VPU), hit the MXU for the scores, apply the candidate mask,
+and extract the top-k by k iterative max/argmax passes (k is 5; k passes
+over C lanes on the VPU beat a full sort and never materialize the logits
+in HBM).  Output is [N, k] indices + values.
+
+The text table must be pre-L2-normalized (one [C, D] pass, amortized across
+every batch, exactly as the reference normalizes the gathered table once
+per predict call).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _topk_kernel(emb_ref, text_ref, mask_ref, idx_ref, val_ref, *, top_k: int):
+    emb = emb_ref[:].astype(jnp.float32)  # [TN, D]
+    # L2 normalize pixels (model.py:144)
+    sq = jnp.sum(emb * emb, axis=1, keepdims=True)
+    emb = emb * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+
+    # [TN, C] scores on the MXU; text is pre-normalized [C, D]
+    scores = jax.lax.dot_general(
+        emb,
+        text_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # candidate masking (reduced-set predict, model.py:147-161)
+    scores = jnp.where(mask_ref[:][None, :] != 0, scores, NEG_INF)
+
+    TN, C = scores.shape
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TN, C), dimension=1)
+
+    def body(i, scores):
+        m = jnp.max(scores, axis=1)  # [TN]
+        # argmax via masked min-index (ties -> smallest index, = lax.top_k)
+        is_max = scores >= m[:, None]
+        idx = jnp.min(jnp.where(is_max, col_ids, C), axis=1)
+        idx_ref[:, i] = idx
+        val_ref[:, i] = m
+        # knock the winner out for the next pass
+        return jnp.where(col_ids == idx[:, None], NEG_INF, scores)
+
+    jax.lax.fori_loop(0, top_k, body, scores, unroll=True)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "tile_n", "interpret"))
+def fused_pixel_text_topk(
+    pixel_embeddings: jax.Array,
+    text_normalized: jax.Array,
+    candidate_mask: jax.Array,
+    top_k: int = 5,
+    tile_n: int = 512,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Args:
+      pixel_embeddings: [N, D] (un-normalized; normalization is fused).
+      text_normalized: [C, D] L2-normalized text table.
+      candidate_mask: [C] bool/int — True for classes in the candidate set.
+      top_k: number of labels per pixel.
+      tile_n: pixels per grid step (multiple of 8).
+
+    Returns: (indices [N, k] int32, values [N, k] float32).
+    """
+    N, D = pixel_embeddings.shape
+    C = text_normalized.shape[0]
+
+    pad = (-N) % tile_n
+    if pad:
+        pixel_embeddings = jnp.pad(pixel_embeddings, ((0, pad), (0, 0)))
+    n_padded = pixel_embeddings.shape[0]
+
+    grid = (n_padded // tile_n,)
+    kernel = functools.partial(_topk_kernel, top_k=top_k)
+    idx, val = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, top_k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, top_k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_padded, top_k), jnp.int32),
+            jax.ShapeDtypeStruct((n_padded, top_k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pixel_embeddings, text_normalized, candidate_mask.astype(jnp.int32))
+
+    return idx[:N], val[:N]

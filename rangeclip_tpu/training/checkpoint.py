@@ -1,0 +1,66 @@
+"""Orbax checkpointing of the train state.
+
+Reference: model.py:368-393 — dict checkpoints {train_step, encoder,
+decoder, log_temperature_text, log_temperature_image, optimizer} with
+defaults injected for missing temperatures on restore; filename template
+``checkpoints/depth_segmentation_model-{step}`` (train_util.py:552-556).
+
+Reference bugs deliberately NOT replicated (SURVEY.md section 7):
+  * ``restore_depth_encoder`` is called but never defined
+    (train_util.py:158) — here encoder-only restore exists and works;
+  * the reference rebuilds the optimizer after restoring it
+    (train_util.py:163-166), silently discarding optimizer state — here
+    restore returns the restored optimizer state intact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from rangeclip_tpu.training.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, checkpoint_dir: str, max_to_keep: Optional[int] = None):
+        self.directory = os.path.abspath(checkpoint_dir)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, state: TrainState) -> None:
+        step = int(jax.device_get(state.step))
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore into the structure of ``template`` (shapes/dtypes)."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoint found in {self.directory}")
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return restored
+
+    def restore_encoder_params(self, template: TrainState,
+                               step: Optional[int] = None):
+        """Encoder-only restore (the working version of the reference's
+        missing ``restore_depth_encoder``; encoder.py:144-156 capability).
+
+        Returns params with the encoder subtree replaced.
+        """
+        restored = self.restore(template, step)
+        params = dict(template.params)
+        params["depth_encoder"] = restored.params["depth_encoder"]
+        return params
+
+    def close(self) -> None:
+        self._mgr.close()

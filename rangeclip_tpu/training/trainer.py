@@ -1,0 +1,329 @@
+"""End-to-end training orchestration.
+
+Reference: train_util.py:65-430 (``train_depth_clip_model``) — data setup,
+label structures, frozen CLIP, model/optimizer construction, restore paths,
+text-embedding precompute + broadcast, the epoch loop with curriculum,
+gradient accumulation, per-step summaries, periodic validation and
+checkpointing, and the final save.
+
+TPU-native changes:
+  * one jitted train step consumes a whole accumulation window (8
+    microbatches) — see train_step.py;
+  * the text table is precomputed once and placed replicated on the mesh
+    (the reference's rank-0 NCCL broadcast, train_util.py:230-240);
+  * frozen CLIP crop embeddings are computed by a separately-jitted tower
+    right before the step (keeping the train step's compile independent);
+  * host-0-only logging/checkpointing via ``jax.process_index() == 0``;
+  * restore keeps optimizer state (the reference discards it — SURVEY.md
+    section 5 checkpoint quirk, deliberately fixed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rangeclip_tpu.data.labels import (
+    build_equivalence_class_map,
+    build_equivalence_tensor,
+    build_similarity_matrices,
+    load_equivalence_dict,
+    load_label_similarity_sets,
+)
+from rangeclip_tpu.data.loader import setup_dataloaders
+from rangeclip_tpu.evals.validate import make_val_step, validate_model
+from rangeclip_tpu.losses.hybrid import HybridLossConfig
+from rangeclip_tpu.models.clip.crops import prepare_image_crops
+from rangeclip_tpu.models.depth_unet import DepthUNet, DepthUNetConfig
+from rangeclip_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from rangeclip_tpu.training.checkpoint import CheckpointManager
+from rangeclip_tpu.training.curriculum import get_curriculum_schedule
+from rangeclip_tpu.training.optim import make_lr_schedule, make_optimizer
+from rangeclip_tpu.training.state import create_train_state
+from rangeclip_tpu.training.train_step import make_train_step
+from rangeclip_tpu.utils.logging import (
+    ScalarWriter,
+    log,
+    log_configuration,
+    log_training_summary,
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Canonical flags (train.py:24-82 + launcher defaults)."""
+
+    labeled_metadata_path: str = ""
+    labels_path: str = ""
+    equivalence_dict_path: str = ""
+    batch_size: int = 2
+    n_height: int = 224
+    n_width: int = 224
+    unet_architecture: str = "resnet"
+    learning_rates: Sequence[float] = (2e-4, 1e-4, 5e-5, 1e-5)
+    learning_schedule: Sequence[int] = (10, 20, 30, 35)
+    scheduler_type: str = "multi_step"
+    w_weight_decay: float = 1e-4
+    checkpoint_path: str = "checkpoints"
+    n_step_per_checkpoint: int = 1000
+    n_step_per_summary: int = 500
+    n_sample_per_summary: int = 32
+    validation_start_step: int = 5000
+    restore_path_model: Optional[str] = None
+    restore_path_encoder: Optional[str] = None
+    clip_checkpoint_path: Optional[str] = None
+    clip_vocab_path: Optional[str] = None
+    clip_merges_path: Optional[str] = None
+    accumulation_steps: int = 8
+    w_text: float = 1.0
+    w_image: float = 0.5
+    w_smooth: float = 2e2
+    embedding_dim: int = 512
+    use_batch_norm: bool = True
+    seed: int = 0
+    bf16: bool = False
+    max_steps: Optional[int] = None  # early-exit knob for smoke runs
+
+
+def _accumulate_microbatches(microbatches, image_embeddings):
+    """Stack host microbatches into the [A, B, ...] layout the step expects."""
+    out = {
+        "depth": np.stack([mb["depth"] for mb in microbatches]).astype(np.float32),
+        "segmentation": np.stack([mb["segmentation"] for mb in microbatches]).astype(
+            np.int32
+        ),
+        "object_label": np.stack([mb["object_label"] for mb in microbatches]).astype(
+            np.int32
+        ),
+        "sample_valid": np.stack([mb["sample_valid"] for mb in microbatches]).astype(
+            np.float32
+        ),
+        "image_embeddings": np.stack(image_embeddings).astype(np.float32),
+    }
+    return out
+
+
+def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
+    """Run the full training job; returns final best_results."""
+    is_host0 = jax.process_index() == 0
+    time_start = time.time()
+
+    ckpt_root = os.path.abspath(cfg.checkpoint_path)
+    log_path = os.path.join(ckpt_root, "results.txt") if is_host0 else None
+    event_path = os.path.join(ckpt_root, "tensorboard")
+    n_epoch = cfg.learning_schedule[-1]
+
+    # --- data ---------------------------------------------------------
+    (train_loader, val_loader, _test_loader, n_train_steps, candidate_labels
+     ) = setup_dataloaders(
+        cfg.labeled_metadata_path,
+        cfg.labels_path,
+        (cfg.n_height, cfg.n_width),
+        cfg.batch_size,
+        n_epoch,
+        shard_id=jax.process_index(),
+        num_shards=jax.process_count(),
+    )
+    num_classes = len(candidate_labels)
+
+    # --- label structures (dataloader.py:147-202) ---------------------
+    equivalence_dict = load_equivalence_dict(cfg.equivalence_dict_path)
+    equivalence_tensor = build_equivalence_tensor(equivalence_dict, num_classes)
+    similarity_sets = load_label_similarity_sets(cfg.equivalence_dict_path, num_classes)
+    medium_np, hard_np = build_similarity_matrices(similarity_sets, num_classes)
+    equiv_class_map = build_equivalence_class_map(equivalence_tensor)
+
+    # --- frozen CLIP providers ----------------------------------------
+    from rangeclip_tpu.models.clip.provider import get_image_provider, get_text_provider
+
+    text_provider = get_text_provider(
+        cfg.clip_checkpoint_path, cfg.clip_vocab_path, cfg.clip_merges_path,
+        dim=cfg.embedding_dim,
+    )
+    image_provider = get_image_provider(cfg.clip_checkpoint_path, dim=cfg.embedding_dim)
+
+    if is_host0:
+        log(f"Precomputing text embeddings for {num_classes} candidate labels...",
+            log_path)
+    text_table_np = text_provider(candidate_labels)
+
+    # --- model + optimizer --------------------------------------------
+    model_cfg = DepthUNetConfig(
+        unet_type=cfg.unet_architecture,
+        embedding_dim=cfg.embedding_dim,
+        use_batch_norm=cfg.use_batch_norm,
+        dtype=jnp.bfloat16 if cfg.bf16 else None,
+    )
+    model = DepthUNet(model_cfg)
+    optimizer = make_optimizer(cfg.w_weight_decay)
+    state = create_train_state(
+        jax.random.key(cfg.seed), model_cfg, optimizer,
+        (cfg.batch_size, cfg.n_height, cfg.n_width, 1),
+    )
+
+    ckpt = CheckpointManager(os.path.join(ckpt_root, "checkpoints"))
+    if cfg.restore_path_encoder:
+        enc_ckpt = CheckpointManager(cfg.restore_path_encoder)
+        state = state.replace(params=enc_ckpt.restore_encoder_params(state))
+        log("Restored encoder weights (frozen-encoder finetune).", log_path)
+    elif cfg.restore_path_model:
+        restore_mgr = CheckpointManager(cfg.restore_path_model)
+        state = restore_mgr.restore(state)
+        log(f"Restored checkpoint at step {int(state.step)}.", log_path)
+
+    start_step = int(state.step)
+
+    # --- mesh placement -----------------------------------------------
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    text_table = replicate(mesh, jnp.asarray(text_table_np, jnp.float32))
+    medium_matrix = replicate(mesh, jnp.asarray(medium_np))
+    hard_matrix = replicate(mesh, jnp.asarray(hard_np))
+    equivalence_j = replicate(mesh, jnp.asarray(equivalence_tensor))
+    equiv_map_j = replicate(mesh, jnp.asarray(equiv_class_map))
+
+    loss_cfg = HybridLossConfig(
+        w_text=cfg.w_text, w_image=cfg.w_image, w_smooth=cfg.w_smooth
+    )
+    train_step = make_train_step(model, optimizer, loss_cfg,
+                                 cfg.accumulation_steps)
+    val_step = make_val_step(model, loss_cfg)
+    schedule = make_lr_schedule(cfg.scheduler_type, cfg.learning_rates,
+                                cfg.learning_schedule)
+
+    if is_host0:
+        n_params = sum(x.size for x in jax.tree.leaves(state.params))
+        log_configuration(log_path, {
+            "metadata": cfg.labeled_metadata_path,
+            "batch_size": cfg.batch_size,
+            "resolution": f"{cfg.n_height}x{cfg.n_width}",
+            "architecture": cfg.unet_architecture,
+            "n_parameters": n_params,
+            "n_train_steps": n_train_steps,
+            "learning_rates": list(cfg.learning_rates),
+            "learning_schedule": list(cfg.learning_schedule),
+            "scheduler": cfg.scheduler_type,
+            "weight_decay": cfg.w_weight_decay,
+            "accumulation_steps": cfg.accumulation_steps,
+            "loss_weights": (cfg.w_text, cfg.w_image, cfg.w_smooth),
+            "devices": jax.device_count(),
+            "mesh": dict(mesh.shape),
+            "precision": "bf16" if cfg.bf16 else "fp32",
+            "checkpoint_path": ckpt_root,
+        })
+        train_writer = ScalarWriter(event_path + "-train")
+        val_writer = ScalarWriter(event_path + "-val")
+    else:
+        train_writer = val_writer = None
+
+    best_results: Dict = {"step": -1, "loss": float("inf")}
+    rng = jax.random.key(cfg.seed + 1)
+    train_step_count = start_step
+    done = False
+
+    log(f"{jax.process_index()} Begin training...", log_path)
+
+    for epoch in range(1, n_epoch + 1):
+        if done:
+            break
+        train_loader.set_epoch(epoch)
+        curriculum = get_curriculum_schedule(epoch, n_epoch)
+        lr = schedule(epoch - 1)
+        epoch_losses = []
+
+        microbatches = []
+        image_embs = []
+        for batch in train_loader:
+            crops = prepare_image_crops(
+                jnp.asarray(batch["image"]), jnp.asarray(batch["object_bbox"])
+            )
+            image_embs.append(np.asarray(image_provider(crops)))
+            microbatches.append(batch)
+            if len(microbatches) < cfg.accumulation_steps:
+                continue
+
+            step_batch = _accumulate_microbatches(microbatches, image_embs)
+            microbatches, image_embs = [], []
+            step_batch = shard_batch(mesh, step_batch, batch_axis=1)
+
+            rng, step_rng = jax.random.split(rng)
+            state, info = train_step(
+                state, step_batch, step_rng, jnp.float32(lr),
+                jnp.float32(curriculum["pct_medium"]),
+                jnp.float32(curriculum["pct_hard"]),
+                text_table, medium_matrix, hard_matrix,
+            )
+            train_step_count += 1
+            loss_val = float(info["total_loss"])
+            epoch_losses.append(loss_val)
+
+            if is_host0 and train_step_count % cfg.n_step_per_summary == 0:
+                train_writer.add_scalar("Loss/train_step", loss_val, train_step_count)
+                train_writer.add_scalar("Loss/text_contrast",
+                                        float(info["text_contrastive_loss"]),
+                                        train_step_count)
+                train_writer.add_scalar("Loss/image_contrast",
+                                        float(info["image_contrastive_loss"]),
+                                        train_step_count)
+                train_writer.add_scalar("Loss/smoothness",
+                                        float(info["smoothness_loss"]),
+                                        train_step_count)
+                train_writer.add_scalar("Params/temperature_text",
+                                        float(info["temperature_text"]),
+                                        train_step_count)
+                train_writer.add_scalar("Params/temperature_image",
+                                        float(info["temperature_image"]),
+                                        train_step_count)
+                train_writer.add_scalar("Params/learning_rate", lr, train_step_count)
+                train_writer.add_scalars("train/curriculum", curriculum,
+                                         train_step_count)
+
+            if (
+                is_host0
+                and train_step_count >= cfg.validation_start_step
+                and train_step_count % cfg.n_step_per_summary == 0
+            ):
+                best_results = validate_model(
+                    model, state.params, state.batch_stats, val_loader,
+                    text_table, medium_matrix, hard_matrix,
+                    equivalence_j, equiv_map_j, curriculum, image_provider,
+                    train_step_count, best_results, jax.random.key(999),
+                    loss_cfg, log_path=log_path, summary_writer=val_writer,
+                    val_step_fn=val_step,
+                )
+
+            if is_host0 and train_step_count % cfg.n_step_per_checkpoint == 0:
+                avg = float(np.mean(epoch_losses)) if epoch_losses else 0.0
+                log_training_summary(log_path, train_step_count, n_train_steps,
+                                     start_step, avg, time_start)
+                ckpt.save(state)
+
+            if cfg.max_steps is not None and train_step_count >= cfg.max_steps:
+                done = True
+                break
+
+        avg_epoch = float(np.mean(epoch_losses)) if epoch_losses else 0.0
+        if is_host0:
+            log(
+                f"Epoch {epoch} END | Step {train_step_count} | "
+                f"Avg Loss: {avg_epoch:.7f} | LR: {lr}",
+                log_path,
+            )
+            if train_writer:
+                train_writer.add_scalar("Loss/train_epoch", avg_epoch, epoch)
+        schedule.step_metric(avg_epoch)
+
+    if is_host0:
+        ckpt.save(state)
+        log("Training finished.", log_path)
+        if train_writer:
+            train_writer.close()
+        if val_writer:
+            val_writer.close()
+    return best_results

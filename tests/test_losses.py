@@ -165,10 +165,9 @@ def test_build_contrast_mask_composition():
         )
     )
     assert mask[[1, 2, 3]].all()  # GT present
-    # n_hard=4 -> pool is hard-union(20..25) minus GT; no medium classes
-    assert not mask[10:15].any()
-    assert mask[20:25].sum() == 4
-    # n_rand = 8 - 0 - 4 = 4 random distractors from elsewhere
+    # n_hard=4 -> at least 4 picks from the hard pool (20..24); random picks
+    # (n_rand=4) may add more anywhere outside GT
+    assert mask[20:25].sum() >= 4
     assert mask.sum() == 3 + 4 + 4
 
     # pct_medium > 0 activates the medium pool
@@ -178,9 +177,10 @@ def test_build_contrast_mask_composition():
             k_distractors=8, pct_medium=0.5, pct_hard=0.25,
         )
     )
-    # n_medium=4, n_hard=2 -> 6 from medium∪hard pool (9 classes), 2 random
+    # n_medium=4, n_hard=2 -> 6 from medium∪hard pool, 2 random (which may
+    # also land in unchosen pool classes)
     assert mask2[[1, 2, 3]].all()
-    assert (mask2[10:15].sum() + mask2[20:25].sum()) == 6
+    assert (mask2[10:15].sum() + mask2[20:25].sum()) >= 6
     assert mask2.sum() == 3 + 6 + 2
 
 

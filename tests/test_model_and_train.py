@@ -1,0 +1,98 @@
+"""DepthUNet forward/predict and the fused train step (tiny shapes, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rangeclip_tpu.models.depth_unet import (
+    DepthUNet,
+    DepthUNetConfig,
+    build_candidate_mask,
+)
+from rangeclip_tpu.losses.hybrid import HybridLossConfig
+from rangeclip_tpu.training.optim import make_optimizer
+from rangeclip_tpu.training.state import create_train_state
+from rangeclip_tpu.training.train_step import make_train_step
+
+TINY = DepthUNetConfig(
+    encoder_filters=(8, 16, 16, 16, 32), embedding_dim=32, use_batch_norm=True
+)
+
+
+def _tiny_model():
+    return DepthUNet(TINY)
+
+
+def test_forward_shapes_and_norm():
+    model = _tiny_model()
+    x = jnp.ones((2, 32, 32, 1))
+    vars_ = model.init(jax.random.key(0), x, train=False)
+    (emb, tt, ti), _ = model.apply(vars_, x, train=True, mutable=["batch_stats"])
+    assert emb.shape == (2, 32, 32, 32)
+    # decoder output is L2-normalized over channels (decoder.py:113-116)
+    norms = np.asarray(jnp.linalg.norm(emb, axis=-1))
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    np.testing.assert_allclose(float(tt), 0.07, rtol=1e-4)
+    np.testing.assert_allclose(float(ti), 0.1, rtol=1e-4)
+
+
+def test_predict_respects_candidate_mask():
+    model = _tiny_model()
+    x = jax.random.normal(jax.random.key(1), (1, 32, 32, 1))
+    vars_ = model.init(jax.random.key(0), x, train=False)
+    C, D = 12, 32
+    text = jax.random.normal(jax.random.key(2), (C, D))
+    seg = jnp.zeros((1, 32, 32), jnp.int32).at[:, :16].set(3)
+
+    mask = build_candidate_mask(jax.random.key(3), seg, C, num_negatives=4)
+    m = np.asarray(mask)
+    assert m[0] and m[3]  # GT labels (incl. background) always in
+    assert m.sum() == 2 + 4  # 2 GT + 4 negatives
+
+    topk, emb, temp = model.apply(
+        vars_, x, text, mask, 3, method=DepthUNet.predict
+    )
+    assert topk.shape == (1, 32, 32, 3)
+    # every predicted index must be inside the candidate set
+    assert m[np.asarray(topk).reshape(-1)].all()
+
+
+def test_train_step_runs_and_descends():
+    model = _tiny_model()
+    opt = make_optimizer(weight_decay=1e-4)
+    state = create_train_state(jax.random.key(0), TINY, opt, (1, 32, 32, 1))
+
+    A, B, H, W, C, D = 2, 2, 32, 32, 20, 32
+    key = jax.random.key(1)
+    batch = {
+        "depth": jax.random.normal(key, (A, B, H, W, 1)),
+        "segmentation": jax.random.randint(key, (A, B, H, W), 0, 6),
+        "object_label": jnp.ones((A, B), jnp.int32),
+        "image_embeddings": jax.random.normal(key, (A, B, D)),
+        "sample_valid": jnp.ones((A, B), jnp.float32),
+    }
+    text = jax.random.normal(jax.random.key(2), (C, D))
+    medium = jnp.zeros((C, C), bool)
+    hard = jnp.zeros((C, C), bool)
+
+    step = make_train_step(model, opt, HybridLossConfig(), accum_steps=A,
+                           donate=False)
+    s1, info1 = step(state, batch, jax.random.key(3), jnp.float32(1e-3),
+                     jnp.float32(0.25), jnp.float32(0.5), text, medium, hard)
+    assert int(s1.step) == 1
+    assert np.isfinite(float(info1["total_loss"]))
+    assert float(info1["grad_norm"]) > 0
+
+    # params actually moved
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.params, s1.params)
+    assert max(jax.tree.leaves(delta)) > 0
+
+    # a few more steps on the same batch should reduce the loss
+    s = s1
+    losses = [float(info1["total_loss"])]
+    for i in range(3):
+        s, info = step(s, batch, jax.random.key(3), jnp.float32(1e-3),
+                       jnp.float32(0.25), jnp.float32(0.5), text, medium, hard)
+        losses.append(float(info["total_loss"]))
+    assert losses[-1] < losses[0]

@@ -27,12 +27,19 @@ import jax.numpy as jnp
 
 REF_BASELINE_MAPS_PER_SEC = 300.0
 
-BATCH = 8
+import os
+import sys
+
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
 RES = 256
 NUM_CLASSES = 512
 TOP_K = 5
 WARMUP = 3
-ITERS = 20
+ITERS = int(os.environ.get("BENCH_ITERS", 50))
+
+
+def _progress(msg: str) -> None:
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
 
 def main() -> None:
@@ -47,7 +54,13 @@ def main() -> None:
 
     key = jax.random.key(0)
     depth = jax.random.normal(key, (BATCH, RES, RES, 1), jnp.float32)
-    variables = model.init(jax.random.key(1), depth, train=False)
+    # jit the init: eager init dispatches hundreds of tiny ops individually
+    # (minutes over a remote-tunnel backend); compiled it is one program.
+    variables = jax.jit(lambda k, d: model.init(k, d, train=False))(
+        jax.random.key(1), depth
+    )
+    jax.block_until_ready(variables)
+    _progress("init done")
     text = jax.random.normal(jax.random.key(2), (NUM_CLASSES, 512), jnp.float32)
     seg = jax.random.randint(jax.random.key(3), (BATCH, RES, RES), 0, 40)
     cand = build_candidate_mask(jax.random.key(4), seg, NUM_CLASSES, 300)
@@ -61,6 +74,7 @@ def main() -> None:
 
     out = predict(variables, depth, text, cand)
     jax.block_until_ready(out)
+    _progress("predict compiled")
     for _ in range(WARMUP - 1):
         jax.block_until_ready(predict(variables, depth, text, cand))
 

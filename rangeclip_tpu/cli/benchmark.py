@@ -1,0 +1,195 @@
+"""Benchmark CLI: throughput + robustness sweep.
+
+``throughput`` measures (a) the 256^2 inference path (maps/sec/chip) and
+(b) the contrastive train-step time — the two BASELINE.json metrics — at
+several batch sizes, in fp32 and bf16.
+
+``robustness`` runs the brightness/saturation sweep (the reference's
+benchmark/segclip.py equivalent) with the depth model from a checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def cmd_throughput(args) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rangeclip_tpu.losses.hybrid import HybridLossConfig
+    from rangeclip_tpu.models.depth_unet import (
+        DepthUNet,
+        DepthUNetConfig,
+        build_candidate_mask,
+    )
+    from rangeclip_tpu.training.optim import make_optimizer
+    from rangeclip_tpu.training.state import create_train_state
+    from rangeclip_tpu.training.train_step import make_train_step
+
+    res, C, D = args.resolution, args.num_classes, 512
+    results = []
+    for bf16 in ([False, True] if args.both_precisions else [args.bf16]):
+        cfg = DepthUNetConfig(use_batch_norm=True,
+                              dtype=jnp.bfloat16 if bf16 else None)
+        model = DepthUNet(cfg)
+        for batch in args.batch_sizes:
+            depth = jnp.zeros((batch, res, res, 1), jnp.float32)
+            variables = model.init(jax.random.key(0), depth, train=False)
+            text = jax.random.normal(jax.random.key(1), (C, D))
+            seg = jax.random.randint(jax.random.key(2), (batch, res, res), 0, 40)
+            cand = build_candidate_mask(jax.random.key(3), seg, C, 300)
+
+            @jax.jit
+            def predict(variables, depth):
+                return model.apply(variables, depth, text, cand, 5,
+                                   method=DepthUNet.predict)[0]
+
+            jax.block_until_ready(predict(variables, depth))
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = predict(variables, depth)
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            results.append({
+                "mode": "inference", "precision": "bf16" if bf16 else "fp32",
+                "batch": batch, "resolution": res,
+                "maps_per_sec": round(batch * args.iters / dt, 2),
+                "ms_per_batch": round(1e3 * dt / args.iters, 3),
+            })
+
+        # train-step time (accum window of 8 microbatches)
+        opt = make_optimizer(1e-4)
+        state = create_train_state(jax.random.key(0), cfg, opt,
+                                   (args.train_batch, res, res, 1))
+        step = make_train_step(model, opt, HybridLossConfig(), accum_steps=8)
+        A, B = 8, args.train_batch
+        rngnp = np.random.default_rng(0)
+        batch_data = {
+            "depth": rngnp.standard_normal((A, B, res, res, 1)).astype(np.float32),
+            "segmentation": rngnp.integers(0, 40, (A, B, res, res)).astype(np.int32),
+            "object_label": np.ones((A, B), np.int32),
+            "image_embeddings": rngnp.standard_normal((A, B, D)).astype(np.float32),
+            "sample_valid": np.ones((A, B), np.float32),
+        }
+        text = jax.random.normal(jax.random.key(1), (C, D))
+        med = jnp.zeros((C, C), bool)
+
+        def run_step(s):
+            return step(s, batch_data, jax.random.key(5), jnp.float32(1e-4),
+                        jnp.float32(0.25), jnp.float32(0.5), text, med, med)
+
+        state, _ = run_step(state)
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        for _ in range(max(args.iters // 4, 2)):
+            state, info = run_step(state)
+        jax.block_until_ready(state)
+        dt = (time.perf_counter() - t0) / max(args.iters // 4, 2)
+        results.append({
+            "mode": "train_step", "precision": "bf16" if bf16 else "fp32",
+            "accum": A, "microbatch": B, "resolution": res,
+            "s_per_step": round(dt, 4),
+            "maps_per_sec": round(A * B / dt, 2),
+        })
+
+    for r in results:
+        print(json.dumps(r))
+
+
+def cmd_robustness(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rangeclip_tpu.benchmark.robustness import (
+        format_results_table,
+        robustness_sweep,
+    )
+    from rangeclip_tpu.data.labels import (
+        build_equivalence_class_map,
+        build_equivalence_tensor,
+        load_equivalence_dict,
+    )
+    from rangeclip_tpu.data.loader import setup_dataloaders
+    from rangeclip_tpu.models.clip.provider import get_text_provider
+    from rangeclip_tpu.models.depth_unet import (
+        DepthUNet,
+        DepthUNetConfig,
+        build_candidate_mask,
+    )
+    from rangeclip_tpu.training.checkpoint import CheckpointManager
+    from rangeclip_tpu.training.optim import make_optimizer
+    from rangeclip_tpu.training.state import create_train_state
+
+    _, val_loader, _, _, labels = setup_dataloaders(
+        args.labeled_metadata_path, args.labels_path,
+        (args.n_height, args.n_width), args.batch_size, n_epoch=1,
+    )
+    num_classes = len(labels)
+    eq = build_equivalence_tensor(
+        load_equivalence_dict(args.equivalence_dict_path), num_classes
+    )
+    eq_map = build_equivalence_class_map(eq)
+
+    text_provider = get_text_provider(dim=512)
+    text_table = jnp.asarray(text_provider(labels), jnp.float32)
+
+    cfg = DepthUNetConfig(use_batch_norm=True)
+    model = DepthUNet(cfg)
+    template = create_train_state(jax.random.key(0), cfg, make_optimizer(0.0),
+                                  (args.batch_size, args.n_height, args.n_width, 1))
+    state = CheckpointManager(args.checkpoint_dir).restore(template)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def _predict(variables, depth, cand):
+        return model.apply(variables, depth, text_table, cand, 5,
+                           method=DepthUNet.predict)[0]
+
+    def predict_fn(rng, batch, _enhanced_image):
+        seg = jnp.asarray(batch["segmentation"])
+        cand = build_candidate_mask(rng, seg, num_classes, 20)
+        return _predict(variables, jnp.asarray(batch["depth"]), cand)
+
+    results = robustness_sweep(
+        lambda: val_loader, predict_fn, eq, eq_map, num_classes,
+        brightness_levels=args.brightness_levels,
+    )
+    print(format_results_table(results))
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("throughput")
+    t.add_argument("--resolution", type=int, default=256)
+    t.add_argument("--batch_sizes", nargs="+", type=int, default=[1, 8, 32])
+    t.add_argument("--train_batch", type=int, default=8)
+    t.add_argument("--num_classes", type=int, default=512)
+    t.add_argument("--iters", type=int, default=20)
+    t.add_argument("--bf16", action="store_true")
+    t.add_argument("--both_precisions", action="store_true")
+    t.set_defaults(fn=cmd_throughput)
+
+    r = sub.add_parser("robustness")
+    r.add_argument("--labeled_metadata_path", required=True)
+    r.add_argument("--labels_path", required=True)
+    r.add_argument("--equivalence_dict_path", required=True)
+    r.add_argument("--checkpoint_dir", required=True)
+    r.add_argument("--batch_size", type=int, default=8)
+    r.add_argument("--n_height", type=int, default=224)
+    r.add_argument("--n_width", type=int, default=224)
+    r.add_argument("--brightness_levels", nargs="+", type=float,
+                   default=[1.0, 0.5, 0.2, 0.1, 0.05, 0.02, 0.01])
+    r.set_defaults(fn=cmd_robustness)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Streaming segmentation inference CLI.
+
+Covers the inference-deployment configs in BASELINE.json: a pipelined
+depth-map -> top-k-label-map path on one or more chips.  Depth PNGs stream
+through a host prefetch thread (decode + median-normalize resize), the
+device runs the fused forward+score+top-k program on fixed-shape batches,
+and results stream back as label PNGs / npy files with colorized previews.
+
+Usage:
+  python -m rangeclip_tpu.cli.infer --checkpoint_dir ckpt/checkpoints \
+    --depth_glob 'data/*_depth.png' --labels_path labels.csv \
+    --output_dir out [--batch_size 8 --height 256 --width 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import queue
+import threading
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint_dir", required=True)
+    parser.add_argument("--depth_glob", required=True)
+    parser.add_argument("--labels_path", required=True)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--height", type=int, default=256)
+    parser.add_argument("--width", type=int, default=256)
+    parser.add_argument("--top_k", type=int, default=5)
+    parser.add_argument("--num_negatives", type=int, default=300)
+    parser.add_argument("--embedding_dim", type=int, default=512)
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--clip_checkpoint_path", default=None)
+    parser.add_argument("--clip_vocab_path", default=None)
+    parser.add_argument("--clip_merges_path", default=None)
+    parser.add_argument("--save_preview", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from rangeclip_tpu.data.labels import load_candidate_labels
+    from rangeclip_tpu.data.transforms import depth_transform
+    from rangeclip_tpu.models.clip.provider import get_text_provider
+    from rangeclip_tpu.models.depth_unet import DepthUNet, DepthUNetConfig
+    from rangeclip_tpu.training.checkpoint import CheckpointManager
+    from rangeclip_tpu.training.optim import make_optimizer
+    from rangeclip_tpu.training.state import create_train_state
+    from rangeclip_tpu.utils.math import l2_normalize
+    from rangeclip_tpu.utils.visualization import colorize_segmentation, label_colors
+
+    labels = load_candidate_labels(args.labels_path)
+    num_classes = len(labels)
+
+    text_provider = get_text_provider(
+        args.clip_checkpoint_path, args.clip_vocab_path, args.clip_merges_path,
+        dim=args.embedding_dim,
+    )
+    text_table = jnp.asarray(text_provider(labels), jnp.float32)
+    text_norm = l2_normalize(text_table, axis=-1)
+
+    cfg = DepthUNetConfig(
+        embedding_dim=args.embedding_dim, use_batch_norm=True,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    model = DepthUNet(cfg)
+    template = create_train_state(
+        jax.random.key(0), cfg, make_optimizer(0.0),
+        (args.batch_size, args.height, args.width, 1),
+    )
+    state = CheckpointManager(args.checkpoint_dir).restore(template)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    # Open-set streaming: no GT available, so candidates = ALL classes.
+    candidate_mask = jnp.ones((num_classes,), bool)
+
+    @jax.jit
+    def predict(variables, depth):
+        topk, _, _ = model.apply(
+            variables, depth, text_table, candidate_mask, args.top_k,
+            method=DepthUNet.predict,
+        )
+        return topk
+
+    paths = sorted(glob.glob(args.depth_glob))
+    os.makedirs(args.output_dir, exist_ok=True)
+    colors = label_colors(num_classes)
+    size = (args.height, args.width)
+
+    q: "queue.Queue" = queue.Queue(maxsize=4)
+    sentinel = object()
+
+    def producer():
+        batch, names = [], []
+        for p in paths:
+            depth = np.asarray(Image.open(p).convert("I"), np.float32)
+            batch.append(depth_transform(depth, size)[..., None])
+            names.append(os.path.splitext(os.path.basename(p))[0])
+            if len(batch) == args.batch_size:
+                q.put((np.stack(batch), names))
+                batch, names = [], []
+        if batch:  # pad the tail to the fixed shape
+            n = len(batch)
+            batch += [batch[0]] * (args.batch_size - n)
+            q.put((np.stack(batch), names))
+        q.put(sentinel)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    n_done, t0 = 0, time.perf_counter()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        depth_batch, names = item
+        topk = np.asarray(predict(variables, jnp.asarray(depth_batch)))
+        for i, name in enumerate(names):
+            top1 = topk[i, :, :, 0]
+            np.save(os.path.join(args.output_dir, f"{name}_topk.npy"), topk[i])
+            Image.fromarray(top1.astype(np.int32), mode="I").save(
+                os.path.join(args.output_dir, f"{name}_labels.png")
+            )
+            if args.save_preview:
+                rgb = (colorize_segmentation(top1, colors) * 255).astype(np.uint8)
+                Image.fromarray(rgb).save(
+                    os.path.join(args.output_dir, f"{name}_preview.png")
+                )
+        n_done += len(names)
+    dt = time.perf_counter() - t0
+    print(f"Segmented {n_done} depth maps in {dt:.2f}s "
+          f"({n_done / max(dt, 1e-9):.1f} maps/s)")
+
+
+if __name__ == "__main__":
+    main()

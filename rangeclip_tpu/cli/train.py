@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--restore_path_model", type=str, default=None)
     parser.add_argument("--restore_path_encoder", type=str, default=None)
 
+    parser.add_argument("--embedding_dim", type=int, default=512,
+                        help="joint embedding dim; must match the CLIP "
+                             "projection_dim when real CLIP weights are used")
+
     # Hardware settings
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute policy (fp32 params)")
@@ -115,6 +119,7 @@ def main(argv=None) -> None:
         clip_vocab_path=args.clip_vocab_path,
         clip_merges_path=args.clip_merges_path,
         accumulation_steps=args.accumulation_steps,
+        embedding_dim=args.embedding_dim,
         w_text=args.w_text,
         w_image=args.w_image,
         w_smooth=args.w_smooth,

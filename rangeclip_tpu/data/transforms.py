@@ -47,7 +47,15 @@ def depth_transform(depth: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     """Nearest resize + median normalization (dataloader.py:23-61).
 
     Args: depth [H, W] float array.  Returns float32 [H, W].
+
+    Uses the native C++ fast path (rangeclip_tpu/native) when built; the
+    numpy path below is the same math.
     """
+    from rangeclip_tpu.native import depth_transform_native
+
+    native = depth_transform_native(depth, size)
+    if native is not None:
+        return native
     resized = _resize_nearest_np(depth.astype(np.float32), size)
     median = lower_median_np(resized)
     if abs(median) < 1e-6:
@@ -73,4 +81,9 @@ def image_transform(image: Image.Image | np.ndarray, size: Tuple[int, int]) -> n
 
 def segmentation_transform(seg: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     """Nearest resize of an integer label map (dataloader.py:63-81)."""
+    from rangeclip_tpu.native import segmentation_resize_native
+
+    native = segmentation_resize_native(np.asarray(seg), size)
+    if native is not None:
+        return native
     return _resize_nearest_np(np.asarray(seg), size).astype(np.int32)

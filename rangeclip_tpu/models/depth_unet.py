@@ -59,21 +59,35 @@ class DepthUNet(nn.Module):
 
     def setup(self):
         cfg = self.config
-        if cfg.unet_type != "resnet":
+        if cfg.unet_type == "resnet":
+            self.depth_encoder = DepthEncoder(
+                n_layer=cfg.n_layer,
+                n_filters=cfg.encoder_filters,
+                embedding_dim=cfg.embedding_dim,
+                weight_initializer=cfg.weight_initializer,
+                activation=cfg.activation,
+                use_batch_norm=cfg.use_batch_norm,
+                use_instance_norm=cfg.use_instance_norm,
+                bn_axis_name=cfg.bn_axis_name,
+                dtype=cfg.dtype,
+            )
+            decoder_filters = tuple(reversed(cfg.encoder_filters))
+        elif cfg.unet_type == "mit":
+            # SegFormer-style transformer encoder variant (BASELINE stretch
+            # config); same feature-pyramid contract, 4 stages at H/4..H/32.
+            from rangeclip_tpu.models.mit_encoder import MiTConfig, MiTDepthEncoder
+
+            mit_cfg = MiTConfig(embed_dims=tuple(cfg.encoder_filters[-4:]))
+            self.depth_encoder = MiTDepthEncoder(
+                config=mit_cfg,
+                embedding_dim=cfg.embedding_dim,
+                dtype=cfg.dtype,
+            )
+            decoder_filters = tuple(reversed(mit_cfg.embed_dims))
+        else:
             raise ValueError(f"Unsupported depth encoder type: {cfg.unet_type}")
-        self.depth_encoder = DepthEncoder(
-            n_layer=cfg.n_layer,
-            n_filters=cfg.encoder_filters,
-            embedding_dim=cfg.embedding_dim,
-            weight_initializer=cfg.weight_initializer,
-            activation=cfg.activation,
-            use_batch_norm=cfg.use_batch_norm,
-            use_instance_norm=cfg.use_instance_norm,
-            bn_axis_name=cfg.bn_axis_name,
-            dtype=cfg.dtype,
-        )
         self.depth_decoder = DepthDecoder(
-            n_filters=tuple(reversed(cfg.encoder_filters)),
+            n_filters=decoder_filters,
             embedding_dim=cfg.embedding_dim,
             weight_initializer=cfg.weight_initializer,
             activation=cfg.activation,
@@ -121,6 +135,7 @@ class DepthUNet(nn.Module):
         candidate_text_embeddings: jax.Array,
         candidate_mask: jax.Array,
         top_k: int = 5,
+        scoring: str = "auto",
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Reduced-candidate top-k prediction (model.py:119-175).
 
@@ -131,6 +146,9 @@ class DepthUNet(nn.Module):
             (GT labels + sampled negatives); build it with
             :func:`build_candidate_mask`.
           top_k: number of top labels per pixel.
+          scoring: 'pallas' (fused VMEM-resident score+top-k kernel — the
+            TPU fast path; lax.top_k over the [B*H*W, C] logits is ~50x
+            slower), 'xla', or 'auto' (pallas on TPU, xla elsewhere).
 
         Returns:
           (topk_pred_indices [B, H, W, k] int32 in the global label space,
@@ -141,14 +159,33 @@ class DepthUNet(nn.Module):
         pixel_embeddings = l2_normalize(pixel_embeddings, axis=-1)
 
         text = l2_normalize(candidate_text_embeddings.astype(jnp.float32), axis=-1)
-        logits = jnp.einsum(
-            "bhwd,cd->bhwc",
-            pixel_embeddings.astype(jnp.float32),
-            text,
-            preferred_element_type=jnp.float32,
-        )
-        logits = jnp.where(candidate_mask[None, None, None, :], logits, NEG_INF)
-        _, topk_indices = jax.lax.top_k(logits, top_k)
+        if scoring == "auto":
+            scoring = (
+                "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+            )
+
+        B, H, W, D = pixel_embeddings.shape
+        if scoring == "pallas":
+            from rangeclip_tpu.ops.pallas.pixel_text_topk import (
+                fused_pixel_text_topk,
+            )
+
+            idx, _ = fused_pixel_text_topk(
+                pixel_embeddings.reshape(B * H * W, D),
+                text,
+                candidate_mask,
+                top_k=top_k,
+            )
+            topk_indices = idx.reshape(B, H, W, top_k)
+        else:
+            logits = jnp.einsum(
+                "bhwd,cd->bhwc",
+                pixel_embeddings.astype(jnp.float32),
+                text,
+                preferred_element_type=jnp.float32,
+            )
+            logits = jnp.where(candidate_mask[None, None, None, :], logits, NEG_INF)
+            _, topk_indices = jax.lax.top_k(logits, top_k)
         return topk_indices, pixel_embeddings, temp_text
 
 

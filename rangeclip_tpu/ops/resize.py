@@ -34,11 +34,23 @@ def _nearest_indices(out_size: int, in_size: int) -> jax.Array:
 
 
 def resize_nearest(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
-    """Nearest-neighbor resize of NHWC ``x`` to (H, W) = ``size``."""
+    """Nearest-neighbor resize of NHWC ``x`` to (H, W) = ``size``.
+
+    Integer upscales take a broadcast/reshape fast path (floor(i*in/out)
+    with out = k*in is exactly k-fold repetition) — this is what the decoder
+    hot path uses (exact doubling, decoder.py:114) and it avoids gather
+    lowering entirely.
+    """
     H_out, W_out = size
     B, H_in, W_in, C = x.shape
     if (H_in, W_in) == (H_out, W_out):
         return x
+    if H_out % H_in == 0 and W_out % W_in == 0:
+        kh, kw = H_out // H_in, W_out // W_in
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (B, H_in, kh, W_in, kw, C)
+        )
+        return x.reshape(B, H_out, W_out, C)
     rows = _nearest_indices(H_out, H_in)
     cols = _nearest_indices(W_out, W_in)
     return x[:, rows][:, :, cols]

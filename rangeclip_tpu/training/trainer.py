@@ -21,6 +21,7 @@ TPU-native changes:
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
 import time
 from typing import Dict, Optional, Sequence, Tuple
@@ -180,7 +181,11 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
     start_step = int(state.step)
 
     # --- mesh placement -----------------------------------------------
-    mesh = make_mesh()
+    # The data axis must divide the per-step batch; use the largest divisor
+    # of batch_size that fits the device count (full device count in the
+    # production config, fewer when debugging with tiny batches).
+    n_data = math.gcd(cfg.batch_size, jax.device_count())
+    mesh = make_mesh(n_data=n_data)
     state = replicate(mesh, state)
     text_table = replicate(mesh, jnp.asarray(text_table_np, jnp.float32))
     medium_matrix = replicate(mesh, jnp.asarray(medium_np))

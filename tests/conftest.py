@@ -9,7 +9,7 @@ time of this conftest (pytest imports it first).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,5 +21,11 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 import jax  # noqa: E402
+
+# A site-wide plugin may have force-registered a TPU backend before pytest
+# imported this conftest (and ahead of the JAX_PLATFORMS env var). The config
+# update below wins regardless of registration order, pinning tests to the
+# 8-virtual-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")

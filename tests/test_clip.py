@@ -37,6 +37,10 @@ def _tiny_hf_model():
             num_hidden_layers=TINY_KW["text_layers"],
             intermediate_size=4 * TINY_KW["text_width"],
             hidden_act="quick_gelu",
+            # real CLIP's EOT (49407) is the vocab's highest id; mirror that
+            # so HF's eos-position pooling and our argmax pooling coincide
+            bos_token_id=97,
+            eos_token_id=98,
         ),
         vision_config=dict(
             image_size=TINY_KW["image_size"],

@@ -8,9 +8,10 @@ Reference: evaluation.py —
   * evaluate_mask_clip: MaskCLIP-style zero-shot dense probe — CLIP ViT
     patch tokens through visual_projection, upsampled, cosine-scored
     against a reduced text set (:162-237);
-  * (SegFormer probe intentionally not reimplemented: it evaluates a
-    third-party RGB supervised model, not a capability of this framework;
-    the MaskCLIP probe covers the zero-shot-dense-baseline role.)
+  * evaluate_seg_former: supervised RGB segmentation probe (:245-322) —
+    takes any ``images -> [B, h, w, C_model]`` logits callable (an HF
+    SegFormer adapter is provided) so the harness works without network
+    access to model hubs.
 
 All evaluators share the equivalence-aware metric stack.
 """
@@ -151,3 +152,89 @@ def evaluate_mask_clip(
         predict_fn, dataloader, equivalence_tensor, equiv_class_map, num_classes,
         log_path, "MaskCLIP Probe",
     )
+
+
+def evaluate_seg_former(
+    dataloader,
+    logits_fn,
+    num_classes: int,
+    equivalence_tensor=None,
+    num_negatives: int = 300,
+    seed: int = 0,
+    log_path: Optional[str] = None,
+) -> float:
+    """Supervised RGB segmentation probe (evaluation.py:245-322).
+
+    ``logits_fn(images_hwc_float01) -> [B, h, w, C_model]`` per-class logits
+    (any resolution; they are bilinearly resized to the GT shape, reference
+    :291).  Predictions are restricted to GT labels plus ``num_negatives``
+    sampled distractors (:294-305) and scored with equivalence-aware pixel
+    accuracy (:311-316).  Returns the pixel accuracy (the reference reports
+    only this scalar, :319-322).
+    """
+    rng = jax.random.key(seed)
+    et = jnp.asarray(equivalence_tensor) if equivalence_tensor is not None else None
+
+    correct = 0.0
+    total = 0.0
+    for i, batch in enumerate(dataloader):
+        images = np.asarray(batch["image"], np.float32)
+        if not np.isfinite(images).all():
+            # NaN/Inf image guard (reference :265-277 skips such images)
+            images = np.nan_to_num(images, nan=0.0, posinf=1.0, neginf=0.0)
+        images = np.clip(images, 0.0, 1.0)
+        seg = jnp.asarray(batch["segmentation"])
+
+        logits = jnp.asarray(logits_fn(images), jnp.float32)  # [B, h, w, Cm]
+        logits = resize_bilinear(logits, seg.shape[1:3])
+
+        # Restrict to GT ∪ sampled distractors via a static [C] mask
+        # (reference gathers a python-sorted reduced index list, :294-305;
+        # masked argmax over the full class axis is equivalent).
+        mask = build_candidate_mask(
+            jax.random.fold_in(rng, i), seg, num_classes, num_negatives
+        )
+        C_model = logits.shape[-1]
+        mask = mask[:C_model] if C_model <= num_classes else jnp.pad(
+            mask, (0, C_model - num_classes), constant_values=False
+        )
+        logits = jnp.where(mask[None, None, None, :], logits, -jnp.inf)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        gt_flat = seg.reshape(-1)
+        pred_flat = preds.reshape(-1)
+        if et is not None:
+            correct += float(jnp.sum(et[gt_flat, pred_flat]))
+        else:
+            correct += float(jnp.sum(gt_flat == pred_flat))
+        total += float(gt_flat.size)
+
+    pixel_accuracy = correct / total if total > 0 else 0.0
+    log(
+        f"[SegFormer Evaluation] Pixel accuracy "
+        f"(GT + {num_negatives} distractors): {pixel_accuracy:.4f}",
+        log_path,
+    )
+    return pixel_accuracy
+
+
+def hf_segformer_logits_fn(model_name_or_path: str, device: str = "cpu"):
+    """Adapter: HF torch SegFormer -> ``logits_fn`` for
+    :func:`evaluate_seg_former`.  Requires locally available weights (this
+    framework makes no network calls)."""
+    import torch
+    from transformers import AutoImageProcessor, SegformerForSemanticSegmentation
+
+    processor = AutoImageProcessor.from_pretrained(model_name_or_path)
+    model = SegformerForSemanticSegmentation.from_pretrained(model_name_or_path)
+    model.eval().to(device)
+
+    def logits_fn(images_hwc: np.ndarray) -> np.ndarray:
+        with torch.no_grad():
+            inputs = processor(
+                images=list(images_hwc), return_tensors="pt", do_rescale=False
+            ).to(device)
+            out = model(**inputs).logits  # [B, Cm, h, w]
+        return out.permute(0, 2, 3, 1).cpu().numpy()
+
+    return logits_fn

@@ -21,6 +21,7 @@ def masked_average_pooling(
     pixel_embeddings: jax.Array,
     segmentation_map: jax.Array,
     object_indices: jax.Array,
+    use_pallas: str = "auto",
 ) -> jax.Array:
     """Batch-global pooling (model.py:15-56).
 
@@ -28,6 +29,8 @@ def masked_average_pooling(
       pixel_embeddings: [B, H, W, D].
       segmentation_map: [B, H, W] int.
       object_indices: [N] int.
+      use_pallas: 'auto' (fused kernel on TPU — avoids the [N, B*H*W]
+        match matrix in HBM), 'never', or 'always'.
 
     Returns: [N, D]; rows are zero for objects absent from the batch.
     """
@@ -35,9 +38,18 @@ def masked_average_pooling(
     emb_flat = pixel_embeddings.reshape(B * H * W, D).astype(jnp.float32)
     seg_flat = segmentation_map.reshape(B * H * W)
 
-    match = (seg_flat[None, :] == object_indices[:, None]).astype(jnp.float32)
-    sums = jnp.einsum("np,pd->nd", match, emb_flat, preferred_element_type=jnp.float32)
-    counts = jnp.sum(match, axis=1, keepdims=True)
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if use_pallas == "always" or (use_pallas == "auto" and on_tpu):
+        from rangeclip_tpu.ops.pallas.masked_pooling import fused_masked_pooling
+
+        sums, counts = fused_masked_pooling(emb_flat, seg_flat, object_indices)
+        counts = counts[:, None]
+    else:
+        match = (seg_flat[None, :] == object_indices[:, None]).astype(jnp.float32)
+        sums = jnp.einsum(
+            "np,pd->nd", match, emb_flat, preferred_element_type=jnp.float32
+        )
+        counts = jnp.sum(match, axis=1, keepdims=True)
     return jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), 0.0)
 
 

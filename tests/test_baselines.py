@@ -1,0 +1,100 @@
+"""Baseline evaluators (evaluation.py parity): majority, random, SegFormer
+probe harness."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rangeclip_tpu.evals.baselines import (
+    evaluate_majority_model,
+    evaluate_random_model,
+    evaluate_seg_former,
+)
+
+C = 8
+B, H, W = 2, 8, 8
+
+
+def _loader(n_batches=2, seed=0):
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(n_batches):
+        seg = rng.integers(1, C, size=(B, H, W)).astype(np.int32)
+        batches.append({
+            "depth": rng.standard_normal((B, H, W, 1)).astype(np.float32),
+            "image": rng.random((B, H, W, 3)).astype(np.float32),
+            "segmentation": seg,
+            "sample_valid": np.ones((B,), np.float32),
+        })
+    return batches
+
+
+def _identity_equiv():
+    return np.eye(C, dtype=bool)
+
+
+def test_majority_baseline_perfect_on_constant_seg():
+    batches = _loader()
+    for b in batches:
+        b["segmentation"][:] = 3
+    res = evaluate_majority_model(
+        batches, 3, _identity_equiv(), np.arange(C), C)
+    assert res["pixel_accuracy_t1"] == 1.0
+
+
+def test_random_baseline_bounded():
+    res = evaluate_random_model(
+        _loader(), C, _identity_equiv(), np.arange(C), num_negatives=C)
+    assert 0.0 <= res["pixel_accuracy_t1"] <= 1.0
+
+
+def test_seg_former_oracle_logits_scores_one():
+    batches = _loader()
+
+    def oracle(images):
+        # perfect logits from the GT of the batch being evaluated
+        seg = oracle.current_seg
+        return np.eye(C, dtype=np.float32)[seg] * 10.0
+
+    accs = []
+    for b in batches:
+        oracle.current_seg = b["segmentation"]
+        accs.append(evaluate_seg_former(
+            [b], oracle, C, equivalence_tensor=_identity_equiv(),
+            num_negatives=C))
+    assert all(a == 1.0 for a in accs)
+
+
+def test_seg_former_low_res_logits_resized():
+    batches = _loader(1)
+    # blocky segmentation (4x4 tiles) so a half-resolution prediction
+    # upsampled bilinearly still recovers nearly every pixel
+    rng = np.random.default_rng(1)
+    blocks = rng.integers(1, C, size=(B, H // 4, W // 4)).astype(np.int32)
+    batches[0]["segmentation"] = np.kron(blocks, np.ones((4, 4), np.int32))
+    seg = batches[0]["segmentation"]
+
+    def half_res_oracle(images):
+        small = seg[:, ::2, ::2]
+        return np.eye(C, dtype=np.float32)[small] * 10.0
+
+    acc = evaluate_seg_former(
+        batches, half_res_oracle, C, equivalence_tensor=_identity_equiv(),
+        num_negatives=C)
+    # bilinear upsample of one-hot logits keeps most pixels correct
+    assert acc > 0.5
+
+
+def test_seg_former_equivalence_aware():
+    batches = _loader(1)
+    batches[0]["segmentation"][:] = 2
+
+    def wrong_but_equivalent(images):
+        return np.full((B, H, W, C), -1.0, np.float32) + \
+            4.0 * np.eye(C, dtype=np.float32)[np.full((B, H, W), 5)]
+
+    equiv = np.eye(C, dtype=bool)
+    equiv[2, 5] = equiv[5, 2] = True  # class 5 counts as class 2
+    acc = evaluate_seg_former(
+        batches, wrong_but_equivalent, C, equivalence_tensor=equiv,
+        num_negatives=C)
+    assert acc == 1.0

@@ -33,3 +33,40 @@ def test_fused_pixel_text_topk_matches_xla():
                                rtol=1e-5, atol=1e-6)
     # all selected classes are candidates
     assert mask[np.asarray(idx).reshape(-1)].all()
+
+
+def test_fused_masked_pooling_matches_xla():
+    from rangeclip_tpu.ops.pallas.masked_pooling import fused_masked_pooling
+
+    rng = np.random.default_rng(1)
+    P, D, N = 300, 16, 6
+    emb = rng.standard_normal((P, D)).astype(np.float32)
+    seg = rng.integers(0, 10, size=P).astype(np.int32)
+    objs = np.array([0, 2, 4, 6, 8, 99], np.int32)  # 99 absent
+
+    sums, counts = fused_masked_pooling(
+        jnp.asarray(emb), jnp.asarray(seg), jnp.asarray(objs),
+        tile_p=128, interpret=True,
+    )
+    match = (seg[None, :] == objs[:, None]).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(sums), match @ emb, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(counts), match.sum(1), rtol=1e-6)
+    assert float(np.asarray(counts)[-1]) == 0.0  # absent object
+
+
+def test_masked_average_pooling_pallas_path_matches_xla_path():
+    from rangeclip_tpu.losses.pooling import masked_average_pooling
+
+    rng = np.random.default_rng(2)
+    emb = rng.standard_normal((2, 8, 8, 16)).astype(np.float32)
+    seg = rng.integers(0, 5, size=(2, 8, 8)).astype(np.int32)
+    objs = np.arange(5, dtype=np.int32)
+    a = np.asarray(masked_average_pooling(
+        jnp.asarray(emb), jnp.asarray(seg), jnp.asarray(objs), use_pallas="never"))
+    import jax.experimental.pallas as _pl  # noqa: F401  (kernel import check)
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        b = np.asarray(masked_average_pooling(
+            jnp.asarray(emb), jnp.asarray(seg), jnp.asarray(objs),
+            use_pallas="always"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

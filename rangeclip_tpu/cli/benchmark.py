@@ -134,10 +134,10 @@ def cmd_robustness(args) -> None:
     )
     eq_map = build_equivalence_class_map(eq)
 
-    text_provider = get_text_provider(dim=512)
+    text_provider = get_text_provider(dim=args.embedding_dim)
     text_table = jnp.asarray(text_provider(labels), jnp.float32)
 
-    cfg = DepthUNetConfig(use_batch_norm=True)
+    cfg = DepthUNetConfig(use_batch_norm=True, embedding_dim=args.embedding_dim)
     model = DepthUNet(cfg)
     template = create_train_state(jax.random.key(0), cfg, make_optimizer(0.0),
                                   (args.batch_size, args.n_height, args.n_width, 1))
@@ -183,6 +183,7 @@ def main(argv=None) -> None:
     r.add_argument("--batch_size", type=int, default=8)
     r.add_argument("--n_height", type=int, default=224)
     r.add_argument("--n_width", type=int, default=224)
+    r.add_argument("--embedding_dim", type=int, default=512)
     r.add_argument("--brightness_levels", nargs="+", type=float,
                    default=[1.0, 0.5, 0.2, 0.1, 0.05, 0.02, 0.01])
     r.set_defaults(fn=cmd_robustness)

@@ -14,7 +14,7 @@ use explicit keys folded per batch.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -125,8 +125,15 @@ def validate_model(
     log_path: Optional[str] = None,
     summary_writer=None,
     val_step_fn: Optional[Callable] = None,
+    candidate_labels: Optional[Sequence[str]] = None,
+    n_sample_per_summary: int = 0,
 ) -> Dict:
-    """Run the full validation loop; returns updated ``best_results``."""
+    """Run the full validation loop; returns updated ``best_results``.
+
+    With ``candidate_labels`` and ``n_sample_per_summary`` set, the first
+    batch's samples are rendered as [depth | image | GT | prediction]
+    grids through the summary writer (reference validate.py:140-146).
+    """
     num_classes = text_table.shape[0]
     if val_step_fn is None:
         val_step_fn = make_val_step(model, loss_config, top_k, num_negatives)
@@ -147,7 +154,7 @@ def validate_model(
         )
         image_embeddings = jnp.asarray(image_provider(crops))
 
-        acc, loss_parts, _ = val_step_fn(
+        acc, loss_parts, pred_topk = val_step_fn(
             params, batch_stats, jbatch, jax.random.fold_in(rng, i),
             jnp.float32(curriculum["pct_medium"]), jnp.float32(curriculum["pct_hard"]),
             text_table, medium_matrix, hard_matrix,
@@ -155,6 +162,28 @@ def validate_model(
         )
         loss_sums = loss_sums + loss_parts
         n_batches += 1
+
+        if (
+            i == 0
+            and summary_writer is not None
+            and candidate_labels is not None
+            and n_sample_per_summary > 0
+        ):
+            from rangeclip_tpu.utils.visualization import prediction_grid
+
+            pred_t1 = np.asarray(pred_topk)[..., 0]
+            depth_np = np.asarray(batch["depth"])
+            image_np = np.asarray(batch.get("image")) if "image" in batch else None
+            seg_np = np.asarray(batch["segmentation"])
+            for s in range(min(n_sample_per_summary, seg_np.shape[0])):
+                grid = prediction_grid(
+                    depth_np[s],
+                    image_np[s] if image_np is not None else None,
+                    seg_np[s],
+                    pred_t1[s],
+                    candidate_labels,
+                )
+                summary_writer.add_image(f"val/sample{s}", grid, step)
 
     results = metrics_finalize(acc)
     avg = np.asarray(loss_sums) / max(n_batches, 1)

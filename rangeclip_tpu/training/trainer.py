@@ -301,6 +301,8 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
                     train_step_count, best_results, jax.random.key(999),
                     loss_cfg, log_path=log_path, summary_writer=val_writer,
                     val_step_fn=val_step,
+                    candidate_labels=candidate_labels,
+                    n_sample_per_summary=cfg.n_sample_per_summary,
                 )
 
             if is_host0 and train_step_count % cfg.n_step_per_checkpoint == 0:

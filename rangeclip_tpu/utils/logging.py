@@ -61,6 +61,27 @@ class ScalarWriter:
             except (TypeError, ValueError):
                 pass
 
+    def add_image(self, tag: str, image_hwc_uint8, step: int) -> None:
+        """Qualitative image summary: PNG on disk always (images/<tag>_<step>.png),
+        TensorBoard when available (the reference's per-sample grids,
+        validate.py:140-146)."""
+        import numpy as np
+
+        img = np.asarray(image_hwc_uint8)
+        img_dir = os.path.join(os.path.dirname(self._csv_path), "images")
+        os.makedirs(img_dir, exist_ok=True)
+        safe_tag = tag.replace("/", "_")
+        try:
+            from PIL import Image
+
+            Image.fromarray(img).save(
+                os.path.join(img_dir, f"{safe_tag}_{step:08d}.png")
+            )
+        except Exception:
+            pass
+        if self._tb is not None:
+            self._tb.add_image(tag, img, step, dataformats="HWC")
+
     def close(self) -> None:
         if self._tb is not None:
             self._tb.close()

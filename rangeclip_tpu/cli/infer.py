@@ -36,6 +36,8 @@ def main(argv=None) -> None:
     parser.add_argument("--top_k", type=int, default=5)
     parser.add_argument("--num_negatives", type=int, default=300)
     parser.add_argument("--embedding_dim", type=int, default=512)
+    parser.add_argument("--unet_architecture", default="resnet",
+                        help="resnet or mit (SegFormer-style encoder)")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--clip_checkpoint_path", default=None)
     parser.add_argument("--clip_vocab_path", default=None)
@@ -68,6 +70,7 @@ def main(argv=None) -> None:
     text_norm = l2_normalize(text_table, axis=-1)
 
     cfg = DepthUNetConfig(
+        unet_type=args.unet_architecture,
         embedding_dim=args.embedding_dim, use_batch_norm=True,
         dtype=jnp.bfloat16 if args.bf16 else None,
     )

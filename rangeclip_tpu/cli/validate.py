@@ -22,6 +22,8 @@ def main(argv=None) -> None:
     parser.add_argument("--n_width", type=int, default=224)
     parser.add_argument("--split", choices=["val", "test"], default="val")
     parser.add_argument("--embedding_dim", type=int, default=512)
+    parser.add_argument("--unet_architecture", default="resnet",
+                        help="resnet or mit (SegFormer-style encoder)")
     parser.add_argument("--top_k", type=int, default=5)
     parser.add_argument("--num_negatives", type=int, default=50)
     parser.add_argument("--baselines", action="store_true",
@@ -80,7 +82,8 @@ def main(argv=None) -> None:
                                         dim=args.embedding_dim)
     text_table = jnp.asarray(text_provider(labels), jnp.float32)
 
-    cfg = DepthUNetConfig(embedding_dim=args.embedding_dim, use_batch_norm=True)
+    cfg = DepthUNetConfig(unet_type=args.unet_architecture,
+                          embedding_dim=args.embedding_dim, use_batch_norm=True)
     model = DepthUNet(cfg)
     template = create_train_state(
         jax.random.key(0), cfg, make_optimizer(0.0),

@@ -1,0 +1,143 @@
+"""Sharding correctness on the 8-virtual-device CPU mesh.
+
+The numbers must not depend on the layout: a class-sharded ('model' axis)
+text table and a fully replicated one must produce identical predictions and
+losses, and a data-sharded batch must match the single-device result.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rangeclip_tpu.losses.hybrid import HybridLossConfig
+from rangeclip_tpu.models.depth_unet import (
+    DepthUNet,
+    DepthUNetConfig,
+    build_candidate_mask,
+)
+from rangeclip_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_class_tables,
+    shard_state,
+)
+from rangeclip_tpu.training.optim import make_optimizer
+from rangeclip_tpu.training.state import create_train_state
+from rangeclip_tpu.training.train_step import make_train_step
+
+CFG = DepthUNetConfig(
+    encoder_filters=(8, 16, 16, 16, 32), embedding_dim=32, use_batch_norm=True
+)
+B, H, W, C, D = 4, 32, 32, 64, 32
+
+
+def _batch(rng, A=2):
+    return {
+        "depth": rng.standard_normal((A, B, H, W, 1)).astype(np.float32),
+        "segmentation": rng.integers(0, 16, size=(A, B, H, W)).astype(np.int32),
+        "object_label": np.ones((A, B), np.int32),
+        "image_embeddings": rng.standard_normal((A, B, D)).astype(np.float32),
+        "sample_valid": np.ones((A, B), np.float32),
+    }
+
+
+def test_class_sharded_predict_matches_replicated():
+    mesh = make_mesh(n_data=2, n_model=2)
+    model = DepthUNet(CFG)
+    depth = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, H, W, 1)), jnp.float32
+    )
+    variables = model.init(jax.random.key(0), depth, train=False)
+    text = jax.random.normal(jax.random.key(1), (C, D), jnp.float32)
+    seg = jax.random.randint(jax.random.key(2), (B, H, W), 0, 16)
+    cand = build_candidate_mask(jax.random.key(3), seg, C, 20)
+
+    @jax.jit
+    def predict(variables, depth, text, cand):
+        return model.apply(
+            variables, depth, text, cand, 5, method=DepthUNet.predict,
+            scoring="xla",
+        )[0]
+
+    baseline = np.asarray(predict(variables, depth, text, cand))
+
+    with jax.sharding.set_mesh(mesh):
+        v_sh = replicate(mesh, variables)
+        depth_sh = jax.device_put(depth, NamedSharding(mesh, P("data")))
+        text_sh = jax.device_put(text, NamedSharding(mesh, P("model", None)))
+        cand_sh = replicate(mesh, cand)
+        sharded = np.asarray(predict(v_sh, depth_sh, text_sh, cand_sh))
+
+    np.testing.assert_array_equal(baseline, sharded)
+
+
+def test_train_step_layout_invariance():
+    rng = np.random.default_rng(1)
+    batch_np = _batch(rng)
+    text_np = rng.standard_normal((C, D)).astype(np.float32)
+    med_np = np.zeros((C, C), bool)
+
+    model = DepthUNet(CFG)
+    opt = make_optimizer(1e-4)
+    step = make_train_step(model, opt, HybridLossConfig(), accum_steps=2)
+
+    def run(mesh):
+        state = create_train_state(jax.random.key(0), CFG, opt, (B, H, W, 1))
+        with jax.sharding.set_mesh(mesh):
+            state = shard_state(mesh, state)
+            batch = shard_batch(mesh, dict(batch_np), batch_axis=1)
+            text, med, hard = shard_class_tables(
+                mesh, jnp.asarray(text_np), jnp.asarray(med_np),
+                jnp.asarray(med_np), shard_classes=(mesh.shape["model"] > 1),
+            )
+            new_state, info = step(
+                state, batch, jax.random.key(7), jnp.float32(1e-3),
+                jnp.float32(0.25), jnp.float32(0.5), text, med, hard,
+            )
+            return float(info["total_loss"]), jax.device_get(
+                new_state.params["log_temperature_text"]
+            )
+
+    loss_1x1 = run(make_mesh(n_data=1, n_model=1))
+    loss_4x2 = run(make_mesh(n_data=4, n_model=2))
+    np.testing.assert_allclose(loss_1x1[0], loss_4x2[0], rtol=2e-4)
+    np.testing.assert_allclose(loss_1x1[1], loss_4x2[1], rtol=1e-5)
+
+
+def test_data_parallel_gradients_match_single_device():
+    rng = np.random.default_rng(2)
+    batch_np = _batch(rng)
+    text_np = rng.standard_normal((C, D)).astype(np.float32)
+    med_np = np.zeros((C, C), bool)
+
+    import optax
+
+    model = DepthUNet(CFG)
+    # SGD(1.0): the param delta IS the (negative) gradient, so cross-layout
+    # comparison is linear — Adam's sign normalization would amplify
+    # reduction-order noise on near-zero gradient elements.
+    opt = optax.sgd(1.0)
+    step = make_train_step(model, opt, HybridLossConfig(), accum_steps=2)
+
+    def params_after(mesh):
+        state = create_train_state(jax.random.key(0), CFG, opt, (B, H, W, 1))
+        with jax.sharding.set_mesh(mesh):
+            state = shard_state(mesh, state)
+            batch = shard_batch(mesh, dict(batch_np), batch_axis=1)
+            text = replicate(mesh, jnp.asarray(text_np))
+            med = replicate(mesh, jnp.asarray(med_np))
+            new_state, _ = step(
+                state, batch, jax.random.key(7), jnp.float32(1e-3),
+                jnp.float32(0.25), jnp.float32(0.5), text, med, med,
+            )
+        return jax.device_get(new_state.params)
+
+    p1 = params_after(make_mesh(n_data=1, n_model=1))
+    p4 = params_after(make_mesh(n_data=4, n_model=1))
+    flat1 = jax.tree.leaves(p1)
+    flat4 = jax.tree.leaves(p4)
+    for a, b in zip(flat1, flat4):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)

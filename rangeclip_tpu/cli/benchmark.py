@@ -38,7 +38,11 @@ def cmd_throughput(args) -> None:
         model = DepthUNet(cfg)
         for batch in args.batch_sizes:
             depth = jnp.zeros((batch, res, res, 1), jnp.float32)
-            variables = model.init(jax.random.key(0), depth, train=False)
+            # jitted init: eager init dispatches hundreds of tiny ops
+            # individually (minutes over a remote-tunnel backend)
+            variables = jax.jit(
+                lambda k, d: model.init(k, d, train=False)
+            )(jax.random.key(0), depth)
             text = jax.random.normal(jax.random.key(1), (C, D))
             seg = jax.random.randint(jax.random.key(2), (batch, res, res), 0, 40)
             cand = build_candidate_mask(jax.random.key(3), seg, C, 300)

@@ -100,7 +100,14 @@ def build_contrast_mask(
     Returns: [C] bool mask (True = class participates in the softmax).
     """
     C = num_classes
-    present = jnp.zeros((C,), jnp.bool_).at[labels].max(valid > 0)
+    if jax.default_backend() not in ("cpu", "gpu"):
+        # XLA lowers the scatter-max to a serialized path (~4 ms for 180k
+        # labels); the tiled compare-reduce kernel is ~40x faster.
+        from rangeclip_tpu.ops.pallas.class_presence import fused_class_presence
+
+        present = fused_class_presence(labels, valid, C)
+    else:
+        present = jnp.zeros((C,), jnp.bool_).at[labels].max(valid > 0)
     present_f = present.astype(jnp.float32)
 
     k = jnp.float32(k_distractors)
@@ -146,7 +153,26 @@ def pixel_text_infonce(
     Equals CE over the gathered contrast subset: classes outside the mask get
     -inf logits and vanish from the softmax.  Returns 0 when fewer than 2
     contrast classes or no valid samples exist (reference warning paths).
+
+    On TPU the normalize -> matmul -> masked-CE chain runs as a fused Pallas
+    kernel pair (custom VJP) that never materializes the [N, C] logits in
+    HBM (ops/pallas/pixel_text_ce.py); elsewhere it is the XLA formulation
+    below.  Both produce identical values and gradients (tests).
     """
+    n_contrast = jnp.sum(contrast_mask.astype(jnp.int32))
+    n_valid = jnp.sum(valid)
+    ok = (n_contrast > 1) & (n_valid > 0)
+
+    if jax.default_backend() not in ("cpu", "gpu"):
+        from rangeclip_tpu.ops.pallas.pixel_text_ce import fused_pixel_text_ce
+
+        text_n = l2_normalize(text_embeddings.astype(jnp.float32), axis=-1)
+        ce_sum = fused_pixel_text_ce(
+            samples, temperature, labels, valid, text_n, contrast_mask
+        )
+        loss = ce_sum / jnp.maximum(n_valid, 1.0)
+        return jnp.where(ok, loss, 0.0)
+
     pred_n = l2_normalize(samples.astype(jnp.float32), axis=-1)
     text_n = l2_normalize(text_embeddings.astype(jnp.float32), axis=-1)
     logits = (
@@ -159,10 +185,7 @@ def pixel_text_infonce(
     picked = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
     ce = log_z - picked
 
-    n_contrast = jnp.sum(contrast_mask.astype(jnp.int32))
-    n_valid = jnp.sum(valid)
     loss = jnp.sum(ce * valid) / jnp.maximum(n_valid, 1.0)
-    ok = (n_contrast > 1) & (n_valid > 0)
     return jnp.where(ok, loss, 0.0)
 
 

@@ -33,7 +33,11 @@ def create_train_state(
     input_shape=(1, 224, 224, 1),
 ) -> TrainState:
     model = DepthUNet(config)
-    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), train=True)
+    # jitted init: eager init dispatches hundreds of tiny ops individually
+    # (minutes over remote-tunnel backends); compiled it is one program
+    variables = jax.jit(
+        lambda key: model.init(key, jnp.zeros(input_shape, jnp.float32), train=True)
+    )(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = optimizer.init(params)

@@ -70,3 +70,54 @@ def test_masked_average_pooling_pallas_path_matches_xla_path():
             jnp.asarray(emb), jnp.asarray(seg), jnp.asarray(objs),
             use_pallas="always"))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_class_presence_matches_scatter():
+    from rangeclip_tpu.ops.pallas.class_presence import fused_class_presence
+
+    rng = np.random.default_rng(3)
+    N, C = 5000, 64
+    labels = rng.integers(0, C, size=N).astype(np.int32)
+    valid = (rng.random(N) > 0.3).astype(np.float32)
+    # some classes never valid
+    valid[np.isin(labels, [3, 7])] = 0.0
+
+    got = np.asarray(fused_class_presence(
+        jnp.asarray(labels), jnp.asarray(valid), C, tile_n=512, interpret=True))
+    want = np.zeros(C, bool)
+    np.maximum.at(want, labels, valid > 0)
+    np.testing.assert_array_equal(got, want)
+    assert not got[3] and not got[7]
+
+
+def test_fused_pixel_text_ce_matches_xla_values_and_grads():
+    from rangeclip_tpu.ops.pallas.pixel_text_ce import fused_pixel_text_ce
+    from rangeclip_tpu.losses.infonce import pixel_text_infonce
+
+    rng = np.random.default_rng(4)
+    N, D, C = 300, 32, 48
+    s = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    labels = jnp.asarray(rng.integers(1, 20, N), jnp.int32)
+    valid = jnp.asarray((rng.random(N) > 0.3), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
+    mask = np.zeros(C, bool)
+    mask[np.unique(np.asarray(labels))] = True
+    mask[rng.choice(C, 10, replace=False)] = True
+    mask = jnp.asarray(mask)
+    text_n = l2_normalize(text, axis=-1)
+
+    def fused(s, t):
+        return fused_pixel_text_ce(
+            s, t, labels, valid, text_n, mask, 64, True
+        ) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    def ref(s, t):
+        return pixel_text_infonce(s, labels, valid, text, mask, t)
+
+    t0 = jnp.float32(0.07)
+    np.testing.assert_allclose(float(fused(s, t0)), float(ref(s, t0)), rtol=1e-5)
+    ga = jax.grad(ref, argnums=(0, 1))(s, t0)
+    gb = jax.grad(fused, argnums=(0, 1))(s, t0)
+    np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(ga[0]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(gb[1]), float(ga[1]), rtol=1e-4)

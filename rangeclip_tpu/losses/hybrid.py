@@ -18,6 +18,7 @@ from rangeclip_tpu.losses.infonce import (
     area_image_infonce,
     build_contrast_mask,
     pixel_text_infonce,
+    sample_pixel_multiplicities,
     sample_pixels,
 )
 from rangeclip_tpu.losses.smoothness import total_variation_loss
@@ -70,9 +71,19 @@ def compute_hybrid_loss(
     text_loss = jnp.float32(0.0)
     if cfg.w_text > 0:
         key_pix, key_contrast = jax.random.split(rng)
-        samples, labels, valid = sample_pixels(
-            key_pix, pixel_embeddings, target_indices, cfg.percent_image_sampling
-        )
+        if jax.default_backend() not in ("cpu", "gpu"):
+            # Multiplicity-weighted reformulation: identical estimator, no
+            # row gather / scatter-add adjoint (see infonce.py).
+            valid, labels = sample_pixel_multiplicities(
+                key_pix, target_indices, cfg.percent_image_sampling
+            )
+            B, H, W, D = pixel_embeddings.shape
+            samples = pixel_embeddings.reshape(B * H * W, D)
+        else:
+            samples, labels, valid = sample_pixels(
+                key_pix, pixel_embeddings, target_indices,
+                cfg.percent_image_sampling,
+            )
         if sample_weight is not None:
             B = pixel_embeddings.shape[0]
             n_per_item = valid.shape[0] // B

@@ -69,6 +69,37 @@ def sample_pixels(
     return samples, labels, valid
 
 
+def sample_pixel_multiplicities(
+    key: jax.Array,
+    target: jax.Array,
+    percent: float = 0.7,
+) -> Tuple[jax.Array, jax.Array]:
+    """Multiplicity-weighted reformulation of :func:`sample_pixels`.
+
+    Uniform with-replacement sampling followed by the sample mean is
+    identical to weighting EVERY pixel by its sampled multiplicity:
+      mean_{i in draws, valid} ce_i  ==  sum_p m_p v_p ce_p / sum_p m_p v_p
+    where m ~ histogram of the draws.  On TPU this removes the [N, D] row
+    gather and its scatter-add adjoint (~15 ms per microbatch at 256^2)
+    from the train step — the CE kernel just reads the pixel field in
+    place with per-pixel weights.
+
+    Returns: (weights [B*H*W] float32 = multiplicity * (label > 0),
+              labels [B*H*W] int32).
+    """
+    B, H, W = target.shape
+    n_total = H * W
+    n_samples = max(min(int(percent * n_total), n_total), 1)
+
+    idx = jax.random.randint(key, (B, n_samples), 0, n_total)
+    counts = jax.vmap(
+        lambda row: jnp.zeros((n_total,), jnp.int32).at[row].add(1)
+    )(idx)
+    labels = target.reshape(B * n_total)
+    weights = counts.reshape(B * n_total).astype(jnp.float32) * (labels > 0)
+    return weights, labels
+
+
 def build_contrast_mask(
     key: jax.Array,
     labels: jax.Array,

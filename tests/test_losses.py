@@ -220,3 +220,44 @@ def test_hybrid_loss_composes_and_is_finite():
         )[0]
     )(emb)
     assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_multiplicity_weighting_equals_gathered_sampling():
+    """The TPU path weights all pixels by sampled multiplicity; for the SAME
+    draws this is exactly the mean over the gathered sample list."""
+    import jax
+    from rangeclip_tpu.losses.infonce import pixel_text_infonce
+
+    rng = np.random.default_rng(7)
+    B, H, W, D, C = 2, 8, 8, 16, 12
+    emb = jnp.asarray(rng.standard_normal((B, H, W, D)), jnp.float32)
+    seg = jnp.asarray(rng.integers(0, 6, (B, H, W)), jnp.int32)
+    text = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
+    mask = jnp.asarray(np.ones(C, bool))
+    temp = jnp.float32(0.07)
+
+    n = 40
+    idx = rng.integers(0, H * W, (B, n))
+
+    # gathered-sample formulation
+    emb_flat = emb.reshape(B, H * W, D)
+    seg_flat = np.asarray(seg.reshape(B, H * W))
+    samples = jnp.asarray(
+        np.stack([np.asarray(emb_flat[b])[idx[b]] for b in range(B)])
+    ).reshape(B * n, D)
+    labels = jnp.asarray(
+        np.stack([seg_flat[b][idx[b]] for b in range(B)])
+    ).reshape(B * n)
+    valid = (labels > 0).astype(jnp.float32)
+    loss_gather = pixel_text_infonce(samples, labels, valid, text, mask, temp)
+
+    # multiplicity formulation over ALL pixels
+    counts = np.zeros((B, H * W), np.float32)
+    for b in range(B):
+        np.add.at(counts[b], idx[b], 1.0)
+    all_labels = jnp.asarray(seg_flat.reshape(-1))
+    weights = jnp.asarray(counts.reshape(-1)) * (all_labels > 0)
+    loss_mult = pixel_text_infonce(
+        emb.reshape(B * H * W, D), all_labels, weights, text, mask, temp
+    )
+    np.testing.assert_allclose(float(loss_gather), float(loss_mult), rtol=1e-5)

@@ -53,11 +53,15 @@ def cmd_throughput(args) -> None:
                                    method=DepthUNet.predict)[0]
 
             jax.block_until_ready(predict(variables, depth))
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                out = predict(variables, depth)
-            jax.block_until_ready(out)
-            dt = time.perf_counter() - t0
+            # best-of rounds: shared-backend contention can depress a
+            # single measurement by orders of magnitude
+            dt = float("inf")
+            for _ in range(args.rounds):
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    out = predict(variables, depth)
+                jax.block_until_ready(out)
+                dt = min(dt, time.perf_counter() - t0)
             results.append({
                 "mode": "inference", "precision": "bf16" if bf16 else "fp32",
                 "batch": batch, "resolution": res,
@@ -88,11 +92,14 @@ def cmd_throughput(args) -> None:
 
         state, _ = run_step(state)
         jax.block_until_ready(state)
-        t0 = time.perf_counter()
-        for _ in range(max(args.iters // 4, 2)):
-            state, info = run_step(state)
-        jax.block_until_ready(state)
-        dt = (time.perf_counter() - t0) / max(args.iters // 4, 2)
+        n = max(args.iters // 4, 2)
+        dt = float("inf")
+        for _ in range(args.rounds):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, info = run_step(state)
+            jax.block_until_ready(state)
+            dt = min(dt, (time.perf_counter() - t0) / n)
         results.append({
             "mode": "train_step", "precision": "bf16" if bf16 else "fp32",
             "accum": A, "microbatch": B, "resolution": res,
@@ -175,6 +182,7 @@ def main(argv=None) -> None:
     t.add_argument("--train_batch", type=int, default=8)
     t.add_argument("--num_classes", type=int, default=512)
     t.add_argument("--iters", type=int, default=20)
+    t.add_argument("--rounds", type=int, default=3)
     t.add_argument("--bf16", action="store_true")
     t.add_argument("--both_precisions", action="store_true")
     t.set_defaults(fn=cmd_throughput)

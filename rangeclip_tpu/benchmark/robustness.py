@@ -75,6 +75,47 @@ def robustness_sweep(
     return results
 
 
+def plot_results(results: List[Dict], output_png: str) -> str:
+    """Metric-vs-brightness curves per saturation level (the reference's
+    matplotlib aggregation, segclip.py:463-516) -> PNG path."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    metrics = [
+        ("pixel_accuracy_t1", "Top-1 pixel accuracy"),
+        ("pixel_accuracy_tk", "Top-k pixel accuracy"),
+        ("mIoU_t1", "Top-1 mIoU"),
+        ("mIoU_tk", "Top-k mIoU"),
+    ]
+    sats = sorted({r["saturation"] for r in results})
+    fig, axes = plt.subplots(1, len(metrics), figsize=(4.5 * len(metrics), 4))
+    for ax, (key, title) in zip(np.atleast_1d(axes), metrics):
+        for s in sats:
+            rows = sorted(
+                (r for r in results if r["saturation"] == s),
+                key=lambda r: r["brightness"],
+            )
+            ax.plot(
+                [r["brightness"] for r in rows],
+                [r[key] for r in rows],
+                marker="o",
+                label=f"saturation {s:g}",
+            )
+        ax.set_xscale("log")
+        ax.set_xlabel("brightness factor")
+        ax.set_title(title)
+        ax.set_ylim(0, 1)
+        ax.grid(True, alpha=0.3)
+    if len(sats) > 1:
+        axes[0].legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(output_png, dpi=120)
+    plt.close(fig)
+    return output_png
+
+
 def format_results_table(results: List[Dict]) -> str:
     lines = [
         "brightness saturation  acc_t1  acc_tk  mIoU_t1  mIoU_tk",

@@ -168,8 +168,13 @@ def cmd_robustness(args) -> None:
     results = robustness_sweep(
         lambda: val_loader, predict_fn, eq, eq_map, num_classes,
         brightness_levels=args.brightness_levels,
+        saturation_levels=args.saturation_levels,
     )
     print(format_results_table(results))
+    if args.plot_out:
+        from rangeclip_tpu.benchmark.robustness import plot_results
+
+        print(f"Plot: {plot_results(results, args.plot_out)}")
 
 
 def main(argv=None) -> None:
@@ -198,6 +203,9 @@ def main(argv=None) -> None:
     r.add_argument("--embedding_dim", type=int, default=512)
     r.add_argument("--brightness_levels", nargs="+", type=float,
                    default=[1.0, 0.5, 0.2, 0.1, 0.05, 0.02, 0.01])
+    r.add_argument("--saturation_levels", nargs="+", type=float, default=[1.0])
+    r.add_argument("--plot_out", default=None,
+                   help="write metric-vs-brightness curves to this PNG")
     r.set_defaults(fn=cmd_robustness)
 
     args = parser.parse_args(argv)

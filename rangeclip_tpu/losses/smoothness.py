@@ -17,6 +17,13 @@ def total_variation_loss(pixel_embeddings: jax.Array) -> jax.Array:
     Differences/abs run in the input dtype (halving HBM traffic under the
     bf16 policy — this term is bandwidth-bound); the mean accumulates in
     fp32 either way.  fp32 inputs -> bit-identical to the fp32 reference.
+
+    A fused Pallas formulation exists (ops/pallas/tv_loss.py, correct and
+    grad-exact) but measured SLOWER than this XLA version at bf16 on v5e
+    (fwd 7 vs 3.9 ms, bwd 16 vs 7.6 ms at 4x256^2x512 — the 2-D grid's
+    small blocks are DMA-bound and the seam passes re-read the adjoint), so
+    XLA stays the default; the kernel is kept as a benchmarked negative
+    result and an opt-in for future hardware.
     """
     x = pixel_embeddings
     tv_h = jnp.mean(jnp.abs(x[:, :, :-1, :] - x[:, :, 1:, :]),

@@ -121,3 +121,36 @@ def test_fused_pixel_text_ce_matches_xla_values_and_grads():
     np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(ga[0]),
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(float(gb[1]), float(ga[1]), rtol=1e-4)
+
+
+def test_fused_tv_loss_matches_xla_values_and_grads():
+    import rangeclip_tpu.ops.pallas.tv_loss as tvmod
+    from rangeclip_tpu.losses.smoothness import total_variation_loss
+
+    rng = np.random.default_rng(5)
+    for B, H, W, D, TR in [(2, 8, 4, 16, 4), (3, 5, 4, 8, 8)]:
+        x = jnp.asarray(rng.standard_normal((B, H, W, D)), jnp.float32)
+        np.testing.assert_allclose(
+            float(tvmod.fused_tv_loss(x, TR, True)),
+            float(total_variation_loss(x)), rtol=1e-5)
+        ga = jax.grad(total_variation_loss)(x)
+        gb = jax.grad(lambda x: tvmod.fused_tv_loss(x, TR, True))(x)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   rtol=1e-5, atol=1e-6)
+
+    # multi-chunk path (column seams)
+    orig = tvmod._choose_chunk
+    tvmod._choose_chunk = (
+        lambda WD, D: WD // 4 if WD % 4 == 0 and WD // 4 >= 2 * D else WD
+    )
+    try:
+        x = jnp.asarray(rng.standard_normal((2, 9, 16, 8)), jnp.float32)
+        np.testing.assert_allclose(
+            float(tvmod.fused_tv_loss(x, 4, True)),
+            float(total_variation_loss(x)), rtol=1e-5)
+        ga = jax.grad(total_variation_loss)(x)
+        gb = jax.grad(lambda x: tvmod.fused_tv_loss(x, 4, True))(x)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   rtol=1e-5, atol=1e-6)
+    finally:
+        tvmod._choose_chunk = orig

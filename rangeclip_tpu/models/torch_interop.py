@@ -175,6 +175,157 @@ def convert_reference_checkpoint(
     return params, stats
 
 
+def _flatten(tree: Dict, prefix: Path = ()) -> Dict[Path, np.ndarray]:
+    out: Dict[Path, np.ndarray] = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.asarray(v)
+    return out
+
+
+def _export_convblock_key(path: Path) -> Optional[str]:
+    """Target convblock sub-path -> reference state-dict suffix."""
+    if path[-2:] == ("conv", "kernel"):
+        return ".".join(path[:-2] + ("conv", "weight"))
+    if path[-1] == "kernel" and path[-2] in ("conv_depthwise", "conv_pointwise"):
+        return ".".join(path[:-1] + ("weight",))
+    if len(path) >= 3 and path[-3:-1] == ("norm_act", "batch_norm"):
+        leaf = {"scale": "weight", "bias": "bias", "mean": "running_mean",
+                "var": "running_var"}[path[-1]]
+        return ".".join(path[:-3] + ("batch_norm", leaf))
+    return None
+
+
+def _export_module_name(name: str) -> str:
+    """Target module name -> reference prefix (inverse of the translate_*
+    naming)."""
+    if name.startswith("group"):  # group{g}_block{b} -> blocks.{g-1}.{b}
+        g, b = name.split("_")
+        return f"blocks.{int(g[5:]) - 1}.{int(b[5:])}"
+    if name.startswith("up_block"):
+        return f"up_blocks.{int(name[8:])}"
+    if name == "projection_head_fc1":
+        return "projection_head.0"
+    if name == "projection_head_fc2":
+        return "projection_head.2"
+    return name
+
+
+_ASPP_EXPORT = {
+    "global_pool_conv": ("global_pool.1", "kernel"),
+    "global_pool_gn": ("global_pool.2", "gn"),
+    "project_conv": ("project.0", "kernel"),
+    "project_gn": ("project.1", "gn"),
+}
+
+
+def export_reference_checkpoint(
+    params: Dict, batch_stats: Dict, train_step: int = 0
+) -> Dict:
+    """Inverse of :func:`convert_reference_checkpoint`: target trees -> a
+    reference-format checkpoint dict (model.py:368-378) of numpy arrays.
+
+    Dead identity-block projection weights and BN ``num_batches_tracked``
+    buffers (present in torch state dicts but unused / untracked here) are
+    synthesized so ``load_state_dict(strict=True)`` succeeds.
+    """
+    encoder: Dict[str, np.ndarray] = {}
+    decoder: Dict[str, np.ndarray] = {}
+
+    def invert_tensor(ref_key: str, v: np.ndarray) -> np.ndarray:
+        if "upsample.weight" in ref_key:
+            return np.transpose(v, (2, 3, 0, 1))  # (k,k,I,O) -> IOHW
+        if v.ndim == 4:
+            return np.transpose(v, (3, 2, 0, 1))  # HWIO -> OIHW
+        if v.ndim == 2:
+            return v.T
+        return v
+
+    for side, target in (("encoder", "depth_encoder"), ("decoder", "depth_decoder")):
+        out = encoder if side == "encoder" else decoder
+        flat = {}
+        flat.update(_flatten(params.get(target, {})))
+        flat.update(_flatten(batch_stats.get(target, {})))
+        for path, v in flat.items():
+            name = path[0]
+            if name == "aspp":
+                sub = path[1]
+                if sub in _ASPP_EXPORT:
+                    prefix, kind = _ASPP_EXPORT[sub]
+                elif sub.startswith("branch"):
+                    k = sub.split("_")[0][6:]
+                    prefix = f"branches.{k}.0" if sub.endswith("_conv") else f"branches.{k}.1"
+                    kind = "kernel" if sub.endswith("_conv") else "gn"
+                else:
+                    raise KeyError(f"unmapped aspp entry: {path}")
+                if kind == "kernel":
+                    ref_key = f"aspp.{prefix}.weight"
+                else:
+                    leaf = {"scale": "weight", "bias": "bias"}[path[-1]]
+                    ref_key = f"aspp.{prefix}.{leaf}"
+            elif path[-1] in ("upsample_kernel", "upsample_bias"):
+                leaf = "weight" if path[-1] == "upsample_kernel" else "bias"
+                ref_key = f"{_export_module_name(name)}.upsample.{leaf}"
+            elif name.startswith("projection_head"):
+                leaf = "weight" if path[-1] == "kernel" else "bias"
+                ref_key = f"{_export_module_name(name)}.{leaf}"
+            else:
+                suffix = _export_convblock_key(path[1:])
+                if suffix is None:
+                    raise KeyError(f"unmapped {side} entry: {path}")
+                ref_key = f"{_export_module_name(name)}.{suffix}"
+            out[ref_key] = invert_tensor(ref_key, v)
+
+    # Synthesize what torch state dicts carry but this framework does not:
+    # num_batches_tracked per BN, and dead identity-block projections.
+    for out in (encoder, decoder):
+        for key in list(out):
+            if key.endswith("batch_norm.running_mean"):
+                out[key.replace("running_mean", "num_batches_tracked")] = (
+                    np.asarray(train_step, np.int64)
+                )
+    block_channels: Dict[Tuple[int, int], int] = {}
+    for key, v in encoder.items():
+        parts = key.split(".")
+        if parts[0] == "blocks" and parts[3] == "conv2" and parts[-1] == "weight":
+            block_channels[(int(parts[1]), int(parts[2]))] = v.shape[0]
+    for (g, b), ch in block_channels.items():
+        proj = f"blocks.{g}.{b}.projection.conv.weight"
+        if proj not in encoder:
+            encoder[proj] = np.zeros((ch, ch, 1, 1), np.float32)
+
+    return {
+        "train_step": int(train_step),
+        "encoder": encoder,
+        "decoder": decoder,
+        "log_temperature_text": np.asarray(params["log_temperature_text"]),
+        "log_temperature_image": np.asarray(params["log_temperature_image"]),
+    }
+
+
+def save_reference_checkpoint(params, batch_stats, path: str,
+                              train_step: int = 0) -> str:
+    """Write a ``torch.save`` checkpoint loadable by the reference's
+    ``DepthUNet.restore_model`` (model.py:380-393)."""
+    import torch
+
+    ckpt = export_reference_checkpoint(params, batch_stats, train_step)
+    ckpt["encoder"] = {k: torch.from_numpy(np.ascontiguousarray(v))
+                      for k, v in ckpt["encoder"].items()}
+    ckpt["decoder"] = {k: torch.from_numpy(np.ascontiguousarray(v))
+                      for k, v in ckpt["decoder"].items()}
+    ckpt["log_temperature_text"] = torch.from_numpy(
+        np.ascontiguousarray(ckpt["log_temperature_text"])
+    )
+    ckpt["log_temperature_image"] = torch.from_numpy(
+        np.ascontiguousarray(ckpt["log_temperature_image"])
+    )
+    torch.save(ckpt, path)
+    return path
+
+
 def load_reference_checkpoint(path: str) -> Tuple[Dict, Dict, int]:
     """Load a reference ``.pth`` checkpoint file -> (params, batch_stats,
     train_step)."""

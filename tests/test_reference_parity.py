@@ -81,3 +81,59 @@ def test_depth_unet_matches_reference_fp32():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(float(got_tt), float(want_tt), rtol=1e-5)
     np.testing.assert_allclose(float(got_ti), float(want_ti), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_checkpoint_export_roundtrips_into_reference():
+    """Our params exported to the reference format strict-load into the
+    reference's own torch modules and reproduce our pixel field."""
+    from rangeclip_tpu.models.torch_interop import (
+        convert_reference_checkpoint,
+        export_reference_checkpoint,
+    )
+    from RangeCLIP.src.depth_segmentation_model.model import (
+        DepthUNet as RefDepthUNet,
+    )
+
+    cfg = DepthUNetConfig(use_batch_norm=True)
+    model = DepthUNet(cfg)
+    x = np.random.default_rng(1).standard_normal((1, 64, 64, 1)).astype(np.float32)
+    variables = model.init(jax.random.key(3), jnp.asarray(x), train=False)
+
+    ckpt = export_reference_checkpoint(
+        jax.tree.map(np.asarray, variables["params"]),
+        jax.tree.map(np.asarray, variables["batch_stats"]),
+        train_step=7,
+    )
+    assert ckpt["train_step"] == 7
+
+    ref = RefDepthUNet(
+        unet_type="resnet", device="cpu", n_layer=18, input_channels=1,
+        encoder_filters=[32, 64, 128, 256, 512], embedding_dim=512,
+        weight_initializer="kaiming_uniform", activation_func="relu",
+        use_batch_norm=True, use_instance_norm=False,
+    )
+    ref.depth_encoder.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in ckpt["encoder"].items()},
+        strict=True,
+    )
+    ref.depth_decoder.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in ckpt["decoder"].items()},
+        strict=True,
+    )
+    ref.eval()
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))[0].numpy()
+    got, _, _ = model.apply(variables, jnp.asarray(x), train=False)
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # import of the export reproduces the original trees exactly
+    params2, stats2 = convert_reference_checkpoint(
+        ckpt["encoder"], ckpt["decoder"],
+        ckpt["log_temperature_text"], ckpt["log_temperature_image"],
+    )
+    for a, b in zip(jax.tree.leaves(variables["params"]),
+                    jax.tree.leaves(jax.tree.map(jnp.asarray, params2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -22,6 +22,7 @@ from rangeclip_tpu.losses.infonce import (
     sample_pixels,
 )
 from rangeclip_tpu.losses.smoothness import total_variation_loss
+from rangeclip_tpu.utils.platform import use_tpu_kernels
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,7 +72,7 @@ def compute_hybrid_loss(
     text_loss = jnp.float32(0.0)
     if cfg.w_text > 0:
         key_pix, key_contrast = jax.random.split(rng)
-        if jax.default_backend() not in ("cpu", "gpu"):
+        if use_tpu_kernels():
             # Multiplicity-weighted reformulation: identical estimator, no
             # row gather / scatter-add adjoint (see infonce.py).
             valid, labels = sample_pixel_multiplicities(

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from rangeclip_tpu.utils.math import l2_normalize
+from rangeclip_tpu.utils.platform import use_tpu_kernels
 
 NEG_INF = jnp.float32(-1e30)
 
@@ -131,7 +132,7 @@ def build_contrast_mask(
     Returns: [C] bool mask (True = class participates in the softmax).
     """
     C = num_classes
-    if jax.default_backend() not in ("cpu", "gpu"):
+    if use_tpu_kernels():
         # XLA lowers the scatter-max to a serialized path (~4 ms for 180k
         # labels); the tiled compare-reduce kernel is ~40x faster.
         from rangeclip_tpu.ops.pallas.class_presence import fused_class_presence
@@ -194,7 +195,7 @@ def pixel_text_infonce(
     n_valid = jnp.sum(valid)
     ok = (n_contrast > 1) & (n_valid > 0)
 
-    if jax.default_backend() not in ("cpu", "gpu"):
+    if use_tpu_kernels():
         from rangeclip_tpu.ops.pallas.pixel_text_ce import fused_pixel_text_ce
 
         text_n = l2_normalize(text_embeddings.astype(jnp.float32), axis=-1)

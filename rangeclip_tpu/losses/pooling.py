@@ -38,7 +38,9 @@ def masked_average_pooling(
     emb_flat = pixel_embeddings.reshape(B * H * W, D).astype(jnp.float32)
     seg_flat = segmentation_map.reshape(B * H * W)
 
-    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    from rangeclip_tpu.utils.platform import use_tpu_kernels
+
+    on_tpu = use_tpu_kernels()
     if use_pallas == "always" or (use_pallas == "auto" and on_tpu):
         from rangeclip_tpu.ops.pallas.masked_pooling import fused_masked_pooling
 

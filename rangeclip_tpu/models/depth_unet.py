@@ -31,6 +31,7 @@ from flax import linen as nn
 from rangeclip_tpu.models.decoder import DepthDecoder
 from rangeclip_tpu.models.encoder import DepthEncoder
 from rangeclip_tpu.utils.math import l2_normalize
+from rangeclip_tpu.utils.platform import use_tpu_kernels
 
 NEG_INF = jnp.float32(-1e30)
 
@@ -161,7 +162,7 @@ class DepthUNet(nn.Module):
         text = l2_normalize(candidate_text_embeddings.astype(jnp.float32), axis=-1)
         if scoring == "auto":
             scoring = (
-                "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+                "pallas" if use_tpu_kernels() else "xla"
             )
 
         B, H, W, D = pixel_embeddings.shape

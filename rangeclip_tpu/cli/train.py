@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--n_sample_per_summary", type=int, default=4)
     parser.add_argument("--validation_start_step", type=int, default=5000)
     parser.add_argument("--restore_path_model", type=str, default=None)
+    parser.add_argument("--auto_resume", action="store_true",
+                        help="resume from the latest checkpoint in "
+                             "checkpoint_path if one exists (preemption "
+                             "recovery)")
     parser.add_argument("--restore_path_encoder", type=str, default=None)
 
     parser.add_argument("--embedding_dim", type=int, default=512,
@@ -126,6 +130,7 @@ def main(argv=None) -> None:
         bf16=args.bf16,
         seed=args.seed,
         max_steps=args.max_steps,
+        auto_resume=args.auto_resume,
     )
     best = train_depth_clip_model(cfg)
     print(f"Best results: {best}")

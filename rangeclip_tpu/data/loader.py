@@ -21,6 +21,7 @@ from __future__ import annotations
 import queue
 import random
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -72,6 +73,7 @@ class ShardedBatchLoader:
         seed: int = 0,
         drop_last: bool = False,
         prefetch: int = 2,
+        num_workers: int = 4,
     ):
         self.dataset = dataset
         self.indices = list(indices)
@@ -82,6 +84,7 @@ class ShardedBatchLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -93,16 +96,27 @@ class ShardedBatchLoader:
                                self.num_shards, False))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _make_batch(self, batch_indices: List[int], rng: np.random.Generator
-                    ) -> Dict[str, np.ndarray]:
+    def _fetch(self, i: int, position: int):
+        """One sample with a deterministic per-position RNG, so multi-worker
+        decode order never changes the data (the reference's per-worker
+        torch seeds are order-dependent)."""
+        rng = np.random.default_rng(
+            (self.seed, self.epoch, self.shard_id, position)
+        )
+        try:
+            return self.dataset.__getitem__(i, rng=rng)
+        except TypeError:  # datasets without an rng kwarg
+            return self.dataset[i]
+
+    def _make_batch(self, batch_indices: List[int], batch_start: int,
+                    pool: Optional[ThreadPoolExecutor]) -> Dict[str, np.ndarray]:
         n_real = len(batch_indices)
         padded = batch_indices + [batch_indices[0]] * (self.batch_size - n_real)
-        samples = []
-        for i in padded:
-            try:
-                samples.append(self.dataset.__getitem__(i, rng=rng))
-            except TypeError:  # datasets without an rng kwarg
-                samples.append(self.dataset[i])
+        positions = range(batch_start, batch_start + self.batch_size)
+        if pool is not None:
+            samples = list(pool.map(self._fetch, padded, positions))
+        else:
+            samples = [self._fetch(i, p) for i, p in zip(padded, positions)]
         batch = {
             k: np.stack([s[k] for s in samples], axis=0) for k in samples[0]
         }
@@ -114,7 +128,6 @@ class ShardedBatchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = _shard_indices(self.indices, self.epoch, self.shard_id,
                              self.num_shards, self.shuffle, self.seed)
-        rng = np.random.default_rng((self.seed, self.epoch, self.shard_id))
         batches: List[List[int]] = [
             idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)
         ]
@@ -123,13 +136,17 @@ class ShardedBatchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        pool = (ThreadPoolExecutor(max_workers=self.num_workers)
+                if self.num_workers > 1 else None)
 
         def producer():
             try:
-                for b in batches:
-                    q.put(self._make_batch(b, rng))
+                for bi, b in enumerate(batches):
+                    q.put(self._make_batch(b, bi * self.batch_size, pool))
             finally:
                 q.put(sentinel)
+                if pool is not None:
+                    pool.shutdown(wait=False)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -90,6 +90,9 @@ class TrainerConfig:
     seed: int = 0
     bf16: bool = False
     max_steps: Optional[int] = None  # early-exit knob for smoke runs
+    auto_resume: bool = False  # pick up the latest checkpoint in
+    # checkpoint_path automatically (preemption recovery; beyond the
+    # reference's manual --restore_path_model)
 
 
 def _accumulate_microbatches(microbatches, image_embeddings):
@@ -169,7 +172,11 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
     )
 
     ckpt = CheckpointManager(os.path.join(ckpt_root, "checkpoints"))
-    if cfg.restore_path_encoder:
+    if cfg.auto_resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        log(f"Auto-resumed from step {int(state.step)} "
+            f"(preemption recovery).", log_path)
+    elif cfg.restore_path_encoder:
         enc_ckpt = CheckpointManager(cfg.restore_path_encoder)
         state = state.replace(params=enc_ckpt.restore_encoder_params(state))
         log("Restored encoder weights (frozen-encoder finetune).", log_path)

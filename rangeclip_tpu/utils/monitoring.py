@@ -90,3 +90,22 @@ def device_trace(log_dir: Optional[str]):
         return
     with jax.profiler.trace(log_dir):
         yield
+
+
+def log_device_usage(log_fn=print) -> dict:
+    """Per-device memory stats (the reference's ``log_gpu_usage``,
+    validate.py:19-22, for TPU/any backend).  Returns {device: stats} and
+    logs a one-line summary; devices without memory_stats report {}."""
+    out = {}
+    for dev in jax.local_devices():
+        try:
+            stats = dev.memory_stats() or {}
+        except Exception:
+            stats = {}
+        out[str(dev)] = stats
+        used = stats.get("bytes_in_use")
+        limit = stats.get("bytes_limit")
+        if used is not None:
+            pct = f" ({100 * used / limit:.1f}%)" if limit else ""
+            log_fn(f"[{dev}] memory in use: {used / 2**20:.1f} MiB{pct}")
+    return out

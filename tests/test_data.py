@@ -150,3 +150,27 @@ def test_synthetic_on_disk_roundtrip(tmp_path):
     # determinism given the same rng seed
     s2 = ds.__getitem__(0, rng=np.random.default_rng(0))
     np.testing.assert_array_equal(sample["object_bbox"], s2["object_bbox"])
+
+
+def test_loader_deterministic_across_worker_counts(tmp_path):
+    from rangeclip_tpu.data.loader import ShardedBatchLoader
+    from rangeclip_tpu.data.synthetic import write_synthetic_dataset
+    from rangeclip_tpu.data.dataset import ImageDepthTextDataset
+
+    data = write_synthetic_dataset(str(tmp_path / "d"), n_samples=10,
+                                   shape=(16, 16), num_classes=6)
+    ds = ImageDepthTextDataset(metadata_file=data["metadata"],
+                               labels_path=data["labels"],
+                               resize_shape=(16, 16))
+
+    def batches(num_workers):
+        loader = ShardedBatchLoader(ds, list(range(10)), batch_size=4,
+                                    shuffle=True, num_workers=num_workers)
+        loader.set_epoch(3)
+        return list(loader)
+
+    a, b = batches(1), batches(4)
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])

@@ -177,6 +177,46 @@ def cmd_robustness(args) -> None:
         print(f"Plot: {plot_results(results, args.plot_out)}")
 
 
+def cmd_loader(args) -> None:
+    """Host data-pipeline throughput: decode + transform + batch, with and
+    without the native C++ fast path."""
+    import time as _time
+
+    import numpy as np
+
+    from rangeclip_tpu.data.loader import setup_dataloaders
+    from rangeclip_tpu.data import transforms as transforms_mod
+
+    def run(tag):
+        train_loader, _, _, _, _ = setup_dataloaders(
+            args.labeled_metadata_path, args.labels_path,
+            (args.n_height, args.n_width), args.batch_size, n_epoch=1,
+        )
+        train_loader.num_workers = args.num_workers
+        n_maps = 0
+        t0 = _time.perf_counter()
+        for batch in train_loader:
+            n_maps += int(batch["sample_valid"].sum())
+        dt = _time.perf_counter() - t0
+        print(json.dumps({
+            "mode": "loader", "path": tag, "workers": args.num_workers,
+            "resolution": f"{args.n_height}x{args.n_width}",
+            "maps_per_sec": round(n_maps / dt, 2),
+        }))
+
+    from rangeclip_tpu import native as native_mod
+
+    if native_mod.lib() is not None:
+        run("native-c++")
+    # numpy fallback: force the native path off
+    orig = native_mod._LIB, native_mod._TRIED
+    native_mod._LIB, native_mod._TRIED = None, True
+    try:
+        run("numpy")
+    finally:
+        native_mod._LIB, native_mod._TRIED = orig
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -207,6 +247,15 @@ def main(argv=None) -> None:
     r.add_argument("--plot_out", default=None,
                    help="write metric-vs-brightness curves to this PNG")
     r.set_defaults(fn=cmd_robustness)
+
+    l = sub.add_parser("loader")
+    l.add_argument("--labeled_metadata_path", required=True)
+    l.add_argument("--labels_path", required=True)
+    l.add_argument("--batch_size", type=int, default=16)
+    l.add_argument("--n_height", type=int, default=224)
+    l.add_argument("--n_width", type=int, default=224)
+    l.add_argument("--num_workers", type=int, default=4)
+    l.set_defaults(fn=cmd_loader)
 
     args = parser.parse_args(argv)
     args.fn(args)

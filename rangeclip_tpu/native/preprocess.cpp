@@ -36,8 +36,12 @@ void nearest_resize_f32(const float* src, float* dst, int64_t h_in,
     if (ri >= h_in) ri = h_in - 1;
     const float* row = src + ri * w_in * c;
     float* out = dst + i * w_out * c;
-    for (int64_t j = 0; j < w_out; ++j) {
-      std::memcpy(out + j * c, row + cols[j] * c, sizeof(float) * c);
+    if (c == 1) {  // depth maps: direct gather beats per-pixel memcpy
+      for (int64_t j = 0; j < w_out; ++j) out[j] = row[cols[j]];
+    } else {
+      for (int64_t j = 0; j < w_out; ++j) {
+        std::memcpy(out + j * c, row + cols[j] * c, sizeof(float) * c);
+      }
     }
   }
 }

@@ -82,6 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_steps", type=int, default=None,
                         help="stop after N optimizer steps (smoke runs)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of train steps 2-4")
     parser.add_argument("--distributed", action="store_true",
                         help="call jax.distributed.initialize() (multi-host)")
     return parser
@@ -131,6 +133,7 @@ def main(argv=None) -> None:
         seed=args.seed,
         max_steps=args.max_steps,
         auto_resume=args.auto_resume,
+        profile_dir=args.profile_dir,
     )
     best = train_depth_clip_model(cfg)
     print(f"Best results: {best}")

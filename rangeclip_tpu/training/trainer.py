@@ -93,6 +93,7 @@ class TrainerConfig:
     auto_resume: bool = False  # pick up the latest checkpoint in
     # checkpoint_path automatically (preemption recovery; beyond the
     # reference's manual --restore_path_model)
+    profile_dir: Optional[str] = None  # jax.profiler trace of steps 2..4
 
 
 def _accumulate_microbatches(microbatches, image_embeddings):
@@ -265,6 +266,8 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
             step_batch = shard_batch(mesh, step_batch, batch_axis=1)
 
             rng, step_rng = jax.random.split(rng)
+            if cfg.profile_dir and train_step_count == start_step + 1:
+                jax.profiler.start_trace(cfg.profile_dir)
             state, info = train_step(
                 state, step_batch, step_rng, jnp.float32(lr),
                 jnp.float32(curriculum["pct_medium"]),
@@ -272,6 +275,10 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
                 text_table, medium_matrix, hard_matrix,
             )
             train_step_count += 1
+            if cfg.profile_dir and train_step_count == start_step + 4:
+                jax.block_until_ready(state)
+                jax.profiler.stop_trace()
+                log(f"Profiler trace written to {cfg.profile_dir}", log_path)
             loss_val = float(info["total_loss"])
             epoch_losses.append(loss_val)
 

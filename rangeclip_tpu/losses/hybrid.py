@@ -78,8 +78,9 @@ def compute_hybrid_loss(
             valid, labels = sample_pixel_multiplicities(
                 key_pix, target_indices, cfg.percent_image_sampling
             )
-            B, H, W, D = pixel_embeddings.shape
-            samples = pixel_embeddings.reshape(B * H * W, D)
+            # the fused CE kernel reads the [B, H, W, D] field in place —
+            # flattening here would make XLA materialize a relayout
+            samples = pixel_embeddings
         else:
             samples, labels, valid = sample_pixels(
                 key_pix, pixel_embeddings, target_indices,

@@ -205,6 +205,9 @@ def pixel_text_infonce(
         loss = ce_sum / jnp.maximum(n_valid, 1.0)
         return jnp.where(ok, loss, 0.0)
 
+    if samples.ndim == 4:
+        samples = samples.reshape(-1, samples.shape[-1])
+
     pred_n = l2_normalize(samples.astype(jnp.float32), axis=-1)
     text_n = l2_normalize(text_embeddings.astype(jnp.float32), axis=-1)
     logits = (

@@ -34,7 +34,10 @@ NEG_INF = -1e30
 
 
 def _tile_logits(samples_ref, text_ref, mask_ref, inv_temp):
-    s = samples_ref[:].astype(jnp.float32)  # [TN, D]
+    s = samples_ref[:]
+    # 4-D row blocks [1, 1, W, D] arrive from the no-relayout path; the
+    # squeeze to [W, D] only drops leading 1s (lane/sublane dims untouched).
+    s = s.reshape(-1, s.shape[-1]).astype(jnp.float32)  # [TN, D]
     sq = jnp.sum(s * s, axis=1, keepdims=True)
     rs = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
     emb = s * rs
@@ -90,7 +93,8 @@ def _bwd_kernel(inv_temp_ref, coeff_ref, samples_ref, labels_ref, valid_ref,
         preferred_element_type=jnp.float32,
     ) * inv_temp_ref[0]  # [TN, D]
     proj = jnp.sum(emb * d_emb, axis=1, keepdims=True)
-    dsamples_ref[:] = (rs * (d_emb - emb * proj)).astype(dsamples_ref.dtype)
+    d = (rs * (d_emb - emb * proj)).astype(dsamples_ref.dtype)
+    dsamples_ref[:] = d.reshape(dsamples_ref.shape)
 
 
 def _pad_inputs(samples, labels, valid, tile_n):
@@ -117,7 +121,10 @@ def fused_pixel_text_ce(
     """sum_i valid_i * CE_i — the caller divides by n_valid and gates.
 
     Args:
-      samples: [N, D] un-normalized pixel embeddings (any float dtype).
+      samples: [N, D] un-normalized pixel embeddings (any float dtype) — or
+        the [B, H, W, D] field directly (N = B*H*W row-major), which avoids
+        the physical relayout XLA inserts for the flat view (~28 ms/step at
+        the canonical config).
       temperature: scalar (traced); logits = cos-sim / temperature.
       labels: [N] int32 target classes.
       valid: [N] float32 weights (0 = background).
@@ -128,24 +135,55 @@ def fused_pixel_text_ce(
                        contrast_mask, tile_n, interpret)
 
 
+def _specs_and_grid(samples, tile_n):
+    """(grid, samples_spec, row_tile, n_padded) for flat or 4-D samples."""
+    if samples.ndim == 4:
+        B, H, W, D = samples.shape
+        import os
+        rh = int(os.environ.get("RANGECLIP_CE_ROWS", "2"))
+        rh = rh if H % rh == 0 else 1  # rows per block
+        hb = H // rh
+        return (
+            (B * hb,),
+            pl.BlockSpec((1, rh, W, D), lambda i, hb=hb: (i // hb, i % hb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rh * W,
+            B * H * W,
+        )
+    n_padded = samples.shape[0]
+    D = samples.shape[1]
+    return (
+        (n_padded // tile_n,),
+        pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        tile_n,
+        n_padded,
+    )
+
+
 def _ce_forward(samples, temperature, labels, valid, text_normalized,
                 contrast_mask, tile_n, interpret):
-    samples_p, labels_p, valid_p, N = _pad_inputs(samples, labels, valid, tile_n)
-    n_padded = samples_p.shape[0]
+    if samples.ndim == 4:
+        samples_p, labels_p, valid_p = samples, labels, valid
+        assert labels.shape[0] == samples.size // samples.shape[-1]
+    else:
+        samples_p, labels_p, valid_p, _ = _pad_inputs(
+            samples, labels, valid, tile_n
+        )
     C, D = text_normalized.shape
+    grid, samples_spec, row_tile, n_padded = _specs_and_grid(samples_p, tile_n)
 
     ce = pl.pallas_call(
         _fwd_kernel,
-        grid=(n_padded // tile_n,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_temp [1]
-            pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            samples_spec,
+            pl.BlockSpec((1, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_n), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, row_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_padded), jnp.float32),
         interpret=interpret,
@@ -170,28 +208,37 @@ def _ce_fwd_rule(samples, temperature, labels, valid, text_normalized,
 
 def _ce_bwd_rule(tile_n, interpret, residuals, g):
     samples, temperature, labels, valid, text_normalized, contrast_mask = residuals
-    samples_p, labels_p, valid_p, N = _pad_inputs(samples, labels, valid, tile_n)
-    n_padded = samples_p.shape[0]
+    if samples.ndim == 4:
+        samples_p, labels_p, valid_p = samples, labels, valid
+        N = samples.size // samples.shape[-1]
+    else:
+        samples_p, labels_p, valid_p, N = _pad_inputs(
+            samples, labels, valid, tile_n
+        )
     C, D = text_normalized.shape
+    grid, samples_spec, row_tile, n_padded = _specs_and_grid(samples_p, tile_n)
+    dsamples_shape = (
+        samples.shape if samples.ndim == 4 else (n_padded, D)
+    )
 
     dsamples, dtau_rows = pl.pallas_call(
         _bwd_kernel,
-        grid=(n_padded // tile_n,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_temp [1]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff [1]
-            pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            samples_spec,
+            pl.BlockSpec((1, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            samples_spec,
+            pl.BlockSpec((1, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_padded, D), samples.dtype),
+            jax.ShapeDtypeStruct(dsamples_shape, samples.dtype),
             jax.ShapeDtypeStruct((1, n_padded), jnp.float32),
         ],
         interpret=interpret,
@@ -205,7 +252,7 @@ def _ce_bwd_rule(tile_n, interpret, residuals, g):
         contrast_mask.astype(jnp.int32),
     )
 
-    d_samples = dsamples[:N]
+    d_samples = dsamples if samples.ndim == 4 else dsamples[:N]
     # d temperature: chain d logtau -> d temp  (logtau = log temp)
     d_temp = jnp.sum(dtau_rows) / temperature
     zeros_f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)

@@ -154,3 +154,30 @@ def test_fused_tv_loss_matches_xla_values_and_grads():
                                    rtol=1e-5, atol=1e-6)
     finally:
         tvmod._choose_chunk = orig
+
+
+def test_fused_ce_4d_field_path_matches_flat():
+    from rangeclip_tpu.ops.pallas.pixel_text_ce import fused_pixel_text_ce
+
+    rng = np.random.default_rng(6)
+    B, H, W, D, C = 2, 4, 8, 16, 24
+    x4 = jnp.asarray(rng.standard_normal((B, H, W, D)), jnp.float32)
+    labels = jnp.asarray(rng.integers(1, 10, B * H * W), jnp.int32)
+    valid = jnp.asarray((rng.random(B * H * W) > 0.3), jnp.float32)
+    text_n = l2_normalize(
+        jnp.asarray(rng.standard_normal((C, D)), jnp.float32), axis=-1
+    )
+    mask = jnp.ones(C, bool)
+
+    def f(s, t):
+        return fused_pixel_text_ce(s, t, labels, valid, text_n, mask, 8, True)
+
+    t0 = jnp.float32(0.07)
+    np.testing.assert_allclose(
+        float(f(x4, t0)), float(f(x4.reshape(-1, D), t0)), rtol=1e-5)
+    g4 = jax.grad(f, argnums=(0, 1))(x4, t0)
+    g2 = jax.grad(f, argnums=(0, 1))(x4.reshape(-1, D), t0)
+    np.testing.assert_allclose(
+        np.asarray(g4[0]), np.asarray(g2[0]).reshape(B, H, W, D),
+        rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(g4[1]), float(g2[1]), rtol=1e-5)

@@ -97,6 +97,21 @@ def _bwd_kernel(inv_temp_ref, coeff_ref, samples_ref, labels_ref, valid_ref,
     dsamples_ref[:] = d.reshape(dsamples_ref.shape)
 
 
+def _rows_per_block(H: int, W: int):
+    """Rows per 4-D block: the flat row tile rh*W must be a 128-lane
+    multiple (Mosaic block constraint) and stay VMEM-friendly; rh=2 was the
+    fastest on-chip (RANGECLIP_CE_ROWS overrides). None -> no valid rh,
+    caller falls back to the flat path."""
+    import os
+
+    preferred = int(os.environ.get("RANGECLIP_CE_ROWS", "2"))
+    candidates = [preferred] + [r for r in range(1, min(H, 16) + 1)]
+    for rh in candidates:
+        if rh >= 1 and H % rh == 0 and (rh * W) % 128 == 0 and rh * W <= 2048:
+            return rh
+    return None
+
+
 def _pad_inputs(samples, labels, valid, tile_n):
     N = samples.shape[0]
     pad = (-N) % tile_n
@@ -139,9 +154,7 @@ def _specs_and_grid(samples, tile_n):
     """(grid, samples_spec, row_tile, n_padded) for flat or 4-D samples."""
     if samples.ndim == 4:
         B, H, W, D = samples.shape
-        import os
-        rh = int(os.environ.get("RANGECLIP_CE_ROWS", "2"))
-        rh = rh if H % rh == 0 else 1  # rows per block
+        rh = _rows_per_block(H, W)
         hb = H // rh
         return (
             (B * hb,),
@@ -162,6 +175,8 @@ def _specs_and_grid(samples, tile_n):
 
 def _ce_forward(samples, temperature, labels, valid, text_normalized,
                 contrast_mask, tile_n, interpret):
+    if samples.ndim == 4 and _rows_per_block(*samples.shape[1:3]) is None:
+        samples = samples.reshape(-1, samples.shape[-1])
     if samples.ndim == 4:
         samples_p, labels_p, valid_p = samples, labels, valid
         assert labels.shape[0] == samples.size // samples.shape[-1]
@@ -208,6 +223,9 @@ def _ce_fwd_rule(samples, temperature, labels, valid, text_normalized,
 
 def _ce_bwd_rule(tile_n, interpret, residuals, g):
     samples, temperature, labels, valid, text_normalized, contrast_mask = residuals
+    orig_shape = samples.shape
+    if samples.ndim == 4 and _rows_per_block(*samples.shape[1:3]) is None:
+        samples = samples.reshape(-1, samples.shape[-1])
     if samples.ndim == 4:
         samples_p, labels_p, valid_p = samples, labels, valid
         N = samples.size // samples.shape[-1]
@@ -253,6 +271,7 @@ def _ce_bwd_rule(tile_n, interpret, residuals, g):
     )
 
     d_samples = dsamples if samples.ndim == 4 else dsamples[:N]
+    d_samples = d_samples.reshape(orig_shape)
     # d temperature: chain d logtau -> d temp  (logtau = log temp)
     d_temp = jnp.sum(dtau_rows) / temperature
     zeros_f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)

@@ -160,7 +160,11 @@ def test_fused_ce_4d_field_path_matches_flat():
     from rangeclip_tpu.ops.pallas.pixel_text_ce import fused_pixel_text_ce
 
     rng = np.random.default_rng(6)
-    B, H, W, D, C = 2, 4, 8, 16, 24
+    # W=128 satisfies the 128-lane row-tile constraint, so this exercises
+    # the true 4-D block path (not the flat fallback)
+    from rangeclip_tpu.ops.pallas.pixel_text_ce import _rows_per_block
+    B, H, W, D, C = 2, 4, 128, 16, 24
+    assert _rows_per_block(H, W) is not None
     x4 = jnp.asarray(rng.standard_normal((B, H, W, D)), jnp.float32)
     labels = jnp.asarray(rng.integers(1, 10, B * H * W), jnp.int32)
     valid = jnp.asarray((rng.random(B * H * W) > 0.3), jnp.float32)

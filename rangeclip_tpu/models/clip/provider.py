@@ -16,7 +16,7 @@ runnable end-to-end without network access.  They are NOT CLIP and say so.
 from __future__ import annotations
 
 import hashlib
-from typing import Callable, List, Optional, Protocol, Sequence
+from typing import Optional, Protocol, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ path compiles once and the matmul tiles onto the MXU.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ stage-1 sequence is 16384 tokens with R=8 reducing K/V to 256 — a [16384,
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import dataclasses
 import math
 import os
 import time
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ Everything here is host-side numpy/matplotlib; figures are returned as
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -3,47 +3,80 @@ inference (the BASELINE.json north-star metric).
 
 Measures the full flagship inference path on one chip: ResNet-18 DepthUNet
 forward (512-dim CLIP space) + L2 normalize + pixel x text scoring against a
-512-class candidate table + top-5, i.e. the fused equivalent of the
-reference's predict (model.py:119-175).
+512-class candidate table + top-5 labels at 256^2, i.e. the fused equivalent
+of the reference's predict (model.py:119-175).  Scoring runs at the
+decoder's native H/2 resolution with the top-k indices nearest-upsampled —
+proven exactly equal to full-resolution scoring
+(tests/test_model_and_train.py::test_predict_native_scoring_identity).
+
+The measurement cannot be satisfied without real execution:
+  * every iteration's top-k output is folded into a device-side scalar
+    checksum, and each timing round ends by fetching that scalar to host —
+    the clock stops only after all ITERS programs have produced bytes;
+  * checksums must be bit-identical across rounds (same inputs), else fail;
+  * the compiled program's FLOPs (XLA ``cost_analysis``) bound the result:
+    if the implied FLOP/s exceeds the chip's peak the benchmark aborts
+    instead of printing fiction.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
-The denominator below is an engineering estimate of the reference PyTorch
-pipeline on its development GPU: the fp16 UNet forward at 256^2 is ~21
-GFLOPs/map; at the 25-35% utilization typical of small-batch conv stacks on
-a mid-range training GPU plus the un-fused predict epilogue, that is ~300
-maps/s.  Treat vs_baseline as indicative until a measured GPU baseline
-lands in BASELINE.md.
+The denominator is an engineering estimate of the reference PyTorch predict
+on its development GPU (documented in BASELINE.md): fp16 UNet forward at
+256^2 is ~21 GFLOP/map; at the 25-35% utilization typical of small-batch
+conv stacks on a mid-range training GPU, plus the un-fused predict epilogue
+(full-res normalize + einsum + sort-based topk over [B*65536, C] logits in
+HBM), that is ~300 maps/s.  Treat vs_baseline as indicative until a measured
+GPU baseline lands in BASELINE.md.
 """
 
 from __future__ import annotations
 
 import json
-import time
-
-import jax
-import jax.numpy as jnp
-
-REF_BASELINE_MAPS_PER_SEC = 300.0
-
 import os
 import sys
+import time
+
+REF_BASELINE_MAPS_PER_SEC = 300.0
 
 BATCH = int(os.environ.get("BENCH_BATCH", 32))
 RES = 256
 NUM_CLASSES = 512
 TOP_K = 5
 WARMUP = 3
-ITERS = int(os.environ.get("BENCH_ITERS", 50))
+ITERS = int(os.environ.get("BENCH_ITERS", 30))
 ROUNDS = int(os.environ.get("BENCH_ROUNDS", 4))
+
+# Peak dense bf16 FLOP/s by TPU generation (public cloud specs); the gate
+# uses the most generous plausible figure for unknown kinds.
+_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+    "TPU v7": 4614e12,
+}
 
 
 def _progress(msg: str) -> None:
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+def _chip_peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for name, peak in _PEAK_BF16.items():
+        if kind.startswith(name):
+            return peak
+    return max(_PEAK_BF16.values())
+
+
 def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
     from rangeclip_tpu.models.depth_unet import (
         DepthUNet,
         DepthUNetConfig,
@@ -74,38 +107,63 @@ def main() -> None:
 
     @jax.jit
     def predict(variables, depth, text, cand):
-        topk, emb, _ = model.apply(
-            variables, depth, text, cand, TOP_K, method=DepthUNet.predict
+        topk, _, _ = model.apply(
+            variables, depth, text, cand, TOP_K,
+            method=DepthUNet.predict, return_embeddings=False,
         )
-        return topk
+        # Scalar checksum over the full [B, H, W, k] label field: fetching it
+        # forces every upstream program to have really executed.  The 1-D
+        # view keeps the reduction off the (8,128)-padded [N, 5] layout
+        # (which costs ~1.2 ms/call, ~8% of the whole pipeline).
+        return jnp.sum(topk.reshape(-1).astype(jnp.float32))
 
-    out = predict(variables, depth, text, cand)
-    jax.block_until_ready(out)
-    _progress("predict compiled")
-    for _ in range(WARMUP - 1):
-        jax.block_until_ready(predict(variables, depth, text, cand))
+    compiled = predict.lower(variables, depth, text, cand).compile()
+    flops_per_call = float(compiled.cost_analysis().get("flops", 0.0))
+    peak = _chip_peak_flops(jax.devices()[0])
+    _progress(
+        f"predict compiled: {flops_per_call / 1e9:.1f} GFLOP/call "
+        f"({flops_per_call / BATCH / 1e9:.2f} GFLOP/map), "
+        f"chip peak {peak / 1e12:.0f} TFLOP/s"
+    )
+
+    chk0 = float(jax.device_get(predict(variables, depth, text, cand)))
+    if not (chk0 == chk0):  # NaN guard
+        raise SystemExit("benchmark checksum is NaN — model output is garbage")
+    for i in range(1, WARMUP):
+        jax.block_until_ready(predict(variables, depths[i % len(depths)], text, cand))
 
     # Several timing rounds, best-of: the shared-TPU tunnel shows transient
-    # contention that can depress a single measurement by orders of
-    # magnitude; the best round reflects the hardware.
+    # contention that can depress a single measurement.  Each round chains a
+    # device-side scalar accumulator through all ITERS calls and the clock
+    # stops only once that scalar has crossed to the host.
     best_dt = float("inf")
+    checksums = []
     for r in range(ROUNDS):
         t0 = time.perf_counter()
+        acc = jnp.float32(0.0)
         for i in range(ITERS):
-            out = predict(variables, depths[i % len(depths)], text, cand)
-        jax.block_until_ready(out)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-        _progress(f"round {r}: {BATCH * ITERS / (time.perf_counter() - t0):.0f} maps/s")
+            acc = acc + predict(variables, depths[i % len(depths)], text, cand)
+        total = float(jax.device_get(acc))
+        dt = time.perf_counter() - t0
+        checksums.append(total)
+        best_dt = min(best_dt, dt)
+        _progress(f"round {r}: {BATCH * ITERS / dt:.0f} maps/s, checksum {total:.0f}")
+
+    if len(set(checksums)) != 1:
+        raise SystemExit(f"non-deterministic checksums across rounds: {checksums}")
 
     maps_per_sec = BATCH * ITERS / best_dt
-
-    # The shared backend occasionally pins an entire process to a slow path
-    # (~60x below normal).  One re-exec gets a fresh connection; bounded by
-    # the env marker so this can never loop.
-    if maps_per_sec < 5000 and not os.environ.get("BENCH_RETRIED"):
-        _progress(f"suspiciously slow ({maps_per_sec:.0f} maps/s); retrying once")
-        os.environ["BENCH_RETRIED"] = "1"
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+    implied_flops = flops_per_call * ITERS / best_dt
+    if implied_flops > peak:
+        raise SystemExit(
+            f"implied {implied_flops / 1e12:.0f} TFLOP/s exceeds chip peak "
+            f"{peak / 1e12:.0f} TFLOP/s — the measurement did not capture "
+            "real execution; refusing to report it"
+        )
+    _progress(
+        f"best: {maps_per_sec:.0f} maps/s, implied {implied_flops / 1e12:.2f} "
+        f"TFLOP/s ({100 * implied_flops / peak:.1f}% of peak)"
+    )
 
     print(
         json.dumps(

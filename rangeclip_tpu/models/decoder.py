@@ -38,9 +38,20 @@ class DepthDecoder(nn.Module):
         self,
         spatial_feature_map: jax.Array,
         encoder_features: List[jax.Array],
-        target_shape: Tuple[int, int],
+        target_shape: Optional[Tuple[int, int]],
         train: bool = False,
+        normalize: bool = True,
     ) -> jax.Array:
+        """``target_shape=None`` skips the final nearest upsample and returns
+        the field at its native resolution (H/2 — the resolution of the last
+        decoder block, reference decoder.py:113 before the interpolate at
+        :114).  Because the final upsample is *nearest* and every downstream
+        consumer is per-pixel (L2 norm, scoring, top-k), computing on the
+        native field and nearest-upsampling the result is exact.
+
+        ``normalize=False`` returns the raw output-conv field for consumers
+        that fuse the L2 normalization themselves (the Pallas scoring
+        kernels) — one full read+write of the field saved per skip."""
         # Skips are the reversed encoder features minus the deepest one
         # (decoder.py:98): [g3@H/16, g2@H/8, g1@H/4, conv1@H/2] for resnet18.
         skip_features = encoder_features[:-1][::-1]
@@ -76,5 +87,6 @@ class DepthDecoder(nn.Module):
             name="output_conv",
         )(x, train)
 
-        x = resize_nearest(x, target_shape)
-        return l2_normalize(x, axis=-1)
+        if target_shape is not None:
+            x = resize_nearest(x, target_shape)
+        return l2_normalize(x, axis=-1) if normalize else x

@@ -30,6 +30,7 @@ from flax import linen as nn
 
 from rangeclip_tpu.models.decoder import DepthDecoder
 from rangeclip_tpu.models.encoder import DepthEncoder
+from rangeclip_tpu.ops.resize import resize_nearest
 from rangeclip_tpu.utils.math import l2_normalize
 from rangeclip_tpu.utils.platform import use_tpu_kernels
 
@@ -137,6 +138,8 @@ class DepthUNet(nn.Module):
         candidate_mask: jax.Array,
         top_k: int = 5,
         scoring: str = "auto",
+        score_native: bool = True,
+        return_embeddings: bool = True,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Reduced-candidate top-k prediction (model.py:119-175).
 
@@ -150,20 +153,51 @@ class DepthUNet(nn.Module):
           scoring: 'pallas' (fused VMEM-resident score+top-k kernel — the
             TPU fast path; lax.top_k over the [B*H*W, C] logits is ~50x
             slower), 'xla', or 'auto' (pallas on TPU, xla elsewhere).
+          score_native: score at the decoder's native resolution (H/2) and
+            nearest-upsample the top-k *indices* to [H, W].  The reference's
+            final upsample is nearest (decoder.py:113-116) and normalize /
+            scoring / top-k are all per-pixel, so this is EXACTLY the same
+            prediction as scoring at full resolution with ~4x fewer scoring
+            FLOPs and no [B, H, W, D] field materialization
+            (tests/test_model_and_train.py proves the identity).  ``False``
+            reproduces the literal full-resolution scoring order.
+          return_embeddings: also return the full-resolution L2-normalized
+            pixel-embedding field.  ``False`` skips materializing it (the
+            serving/bench hot path needs only the labels) and returns the
+            native-resolution field instead — un-normalized on the Pallas
+            path, where the kernel fuses the normalization and the HBM
+            round-trip of a normalized field is exactly what's being saved.
 
         Returns:
           (topk_pred_indices [B, H, W, k] int32 in the global label space,
-           pixel_embeddings [B, H, W, D] L2-normalized,
+           pixel_embeddings L2-normalized — [B, H, W, D] when
+           ``return_embeddings`` else the native [B, H/2, W/2, D] field,
            temperature_text scalar).
         """
-        pixel_embeddings, temp_text, _ = self(depth, train=False)
-        pixel_embeddings = l2_normalize(pixel_embeddings, axis=-1)
-
-        text = l2_normalize(candidate_text_embeddings.astype(jnp.float32), axis=-1)
+        if depth.ndim == 3:
+            depth = depth[..., None]
+        target_shape = depth.shape[1:3]
         if scoring == "auto":
             scoring = (
                 "pallas" if use_tpu_kernels() else "xla"
             )
+        _, encoder_features, final_feature_map = self.depth_encoder(depth, False)
+        # The Pallas kernel fuses the pixel L2-normalization, so the decoder
+        # hands it the raw field — normalizing exactly once either way (the
+        # reference normalizes in the decoder AND again in predict,
+        # decoder.py:116 + model.py:144; at fp32 the re-normalization is a
+        # no-op, proven by the fp32 parity tests running the single-normalize
+        # XLA path against torch's double-normalize).
+        pixel_embeddings = self.depth_decoder(
+            final_feature_map,
+            encoder_features,
+            None if score_native else target_shape,
+            False,
+            normalize=(scoring != "pallas"),
+        )
+        temp_text = jnp.exp(self.log_temperature_text)
+
+        text = l2_normalize(candidate_text_embeddings.astype(jnp.float32), axis=-1)
 
         B, H, W, D = pixel_embeddings.shape
         if scoring == "pallas":
@@ -172,12 +206,14 @@ class DepthUNet(nn.Module):
             )
 
             idx, _ = fused_pixel_text_topk(
-                pixel_embeddings.reshape(B * H * W, D),
-                text,
+                pixel_embeddings,
+                text.astype(pixel_embeddings.dtype),
                 candidate_mask,
                 top_k=top_k,
             )
             topk_indices = idx.reshape(B, H, W, top_k)
+            if return_embeddings:
+                pixel_embeddings = l2_normalize(pixel_embeddings, axis=-1)
         else:
             logits = jnp.einsum(
                 "bhwd,cd->bhwc",
@@ -187,6 +223,11 @@ class DepthUNet(nn.Module):
             )
             logits = jnp.where(candidate_mask[None, None, None, :], logits, NEG_INF)
             _, topk_indices = jax.lax.top_k(logits, top_k)
+
+        if (H, W) != target_shape:
+            topk_indices = resize_nearest(topk_indices, target_shape)
+            if return_embeddings:
+                pixel_embeddings = resize_nearest(pixel_embeddings, target_shape)
         return topk_indices, pixel_embeddings, temp_text
 
 

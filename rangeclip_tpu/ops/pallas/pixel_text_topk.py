@@ -12,6 +12,13 @@ and extract the top-k by k iterative max/argmax passes (k is 5; k passes
 over C lanes on the VPU beat a full sort and never materialize the logits
 in HBM).  Output is [N, k] indices + values.
 
+Input can be the [B, H, W, D] field directly — XLA inserts a physical
+relayout (a full HBM round-trip of the field) for the flat [N, D] view, so
+4-D row blocks are the fast path (same trick as pixel_text_ce.py).  The
+matmul runs in the field's own dtype (bf16 fields score on the MXU at bf16
+rate with f32 accumulation; fp32 fields keep full precision for the parity
+mode); normalization statistics are always f32.
+
 The text table must be pre-L2-normalized (one [C, D] pass, amortized across
 every batch, exactly as the reference normalizes the gathered table once
 per predict call).
@@ -27,19 +34,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rangeclip_tpu.ops.pallas.pixel_text_ce import _rows_per_block
+
 NEG_INF = -1e30
 
 
 def _topk_kernel(emb_ref, text_ref, mask_ref, idx_ref, val_ref, *, top_k: int):
-    emb = emb_ref[:].astype(jnp.float32)  # [TN, D]
-    # L2 normalize pixels (model.py:144)
-    sq = jnp.sum(emb * emb, axis=1, keepdims=True)
-    emb = emb * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+    emb = emb_ref[:]
+    emb = emb.reshape(-1, emb.shape[-1])  # 4-D row blocks -> [TN, D]
+    # L2 normalize pixels (model.py:144); stats in f32, product back in the
+    # field dtype so a bf16 field scores at MXU bf16 rate.
+    sq = jnp.sum(emb.astype(jnp.float32) * emb.astype(jnp.float32), axis=1,
+                 keepdims=True)
+    rs = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+    emb = (emb.astype(jnp.float32) * rs).astype(emb_ref.dtype)
 
-    # [TN, C] scores on the MXU; text is pre-normalized [C, D]
+    # [TN, C] scores on the MXU, f32 accumulation
     scores = jax.lax.dot_general(
         emb,
-        text_ref[:].astype(jnp.float32),
+        text_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -72,41 +85,66 @@ def fused_pixel_text_topk(
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Args:
-      pixel_embeddings: [N, D] (un-normalized; normalization is fused).
+      pixel_embeddings: [N, D] or [B, H, W, D] (un-normalized; normalization
+        is fused).  The 4-D form avoids the flat-view relayout.
       text_normalized: [C, D] L2-normalized text table.
       candidate_mask: [C] bool/int — True for classes in the candidate set.
       top_k: number of labels per pixel.
-      tile_n: pixels per grid step (multiple of 8).
+      tile_n: pixels per grid step for the flat form (multiple of 8).
 
-    Returns: (indices [N, k] int32, values [N, k] float32).
+    Returns: (indices [N, k] int32, values [N, k] float32), N = B*H*W
+    row-major for the 4-D form.
     """
-    N, D = pixel_embeddings.shape
+    if pixel_embeddings.ndim == 4 and (
+        _rows_per_block(*pixel_embeddings.shape[1:3]) is None
+    ):
+        pixel_embeddings = pixel_embeddings.reshape(-1, pixel_embeddings.shape[-1])
+
+    if pixel_embeddings.ndim == 4:
+        B, H, W, D = pixel_embeddings.shape
+        rh = _rows_per_block(H, W)
+        hb = H // rh
+        grid = (B * hb,)
+        emb_spec = pl.BlockSpec(
+            (1, rh, W, D), lambda i, hb=hb: (i // hb, i % hb, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        row_tile = rh * W
+        n_padded = N = B * H * W
+    else:
+        N, D = pixel_embeddings.shape
+        pad = (-N) % tile_n
+        if pad:
+            pixel_embeddings = jnp.pad(pixel_embeddings, ((0, pad), (0, 0)))
+        n_padded = pixel_embeddings.shape[0]
+        grid = (n_padded // tile_n,)
+        emb_spec = pl.BlockSpec((tile_n, D), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        row_tile = tile_n
+
     C = text_normalized.shape[0]
-
-    pad = (-N) % tile_n
-    if pad:
-        pixel_embeddings = jnp.pad(pixel_embeddings, ((0, pad), (0, 0)))
-    n_padded = pixel_embeddings.shape[0]
-
-    grid = (n_padded // tile_n,)
     kernel = functools.partial(_topk_kernel, top_k=top_k)
     idx, val = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            emb_spec,
             pl.BlockSpec((C, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_n, top_k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, top_k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, top_k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, top_k), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_padded, top_k), jnp.int32),
             jax.ShapeDtypeStruct((n_padded, top_k), jnp.float32),
         ],
         interpret=interpret,
-    )(pixel_embeddings, text_normalized, candidate_mask.astype(jnp.int32))
+    )(
+        pixel_embeddings,
+        text_normalized.astype(pixel_embeddings.dtype),
+        candidate_mask.astype(jnp.int32),
+    )
 
     return idx[:N], val[:N]

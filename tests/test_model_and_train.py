@@ -96,3 +96,38 @@ def test_train_step_runs_and_descends():
                        jnp.float32(0.25), jnp.float32(0.5), text, medium, hard)
         losses.append(float(info["total_loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_predict_native_scoring_identity():
+    """Scoring at the decoder's native H/2 resolution and nearest-upsampling
+    the top-k indices is EXACTLY the full-resolution prediction: the final
+    decoder upsample is nearest (decoder.py:113-116) and normalize/score/
+    top-k are per-pixel, so they commute with the pixel-replicating resize."""
+    model = _tiny_model()
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 1))
+    vars_ = model.init(jax.random.key(0), x, train=False)
+    C = 12
+    text = jax.random.normal(jax.random.key(2), (C, 32))
+    seg = jax.random.randint(jax.random.key(3), (2, 32, 32), 0, 6)
+    mask = build_candidate_mask(jax.random.key(4), seg, C, num_negatives=4)
+
+    topk_full, emb_full, t_full = model.apply(
+        vars_, x, text, mask, 5, method=DepthUNet.predict, score_native=False
+    )
+    topk_nat, emb_nat, t_nat = model.apply(
+        vars_, x, text, mask, 5, method=DepthUNet.predict, score_native=True
+    )
+    assert topk_nat.shape == topk_full.shape == (2, 32, 32, 5)
+    np.testing.assert_array_equal(np.asarray(topk_nat), np.asarray(topk_full))
+    np.testing.assert_allclose(
+        np.asarray(emb_nat), np.asarray(emb_full), atol=1e-6
+    )
+    np.testing.assert_allclose(float(t_nat), float(t_full))
+
+    # the labels-only hot path returns the native field and identical labels
+    topk_lite, emb_lite, _ = model.apply(
+        vars_, x, text, mask, 5, method=DepthUNet.predict,
+        return_embeddings=False,
+    )
+    np.testing.assert_array_equal(np.asarray(topk_lite), np.asarray(topk_full))
+    assert emb_lite.shape == (2, 16, 16, 32)

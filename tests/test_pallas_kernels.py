@@ -185,3 +185,31 @@ def test_fused_ce_4d_field_path_matches_flat():
         np.asarray(g4[0]), np.asarray(g2[0]).reshape(B, H, W, D),
         rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(float(g4[1]), float(g2[1]), rtol=1e-5)
+
+
+def test_fused_topk_4d_field_path_matches_flat():
+    from rangeclip_tpu.ops.pallas.pixel_text_ce import _rows_per_block
+
+    rng = np.random.default_rng(7)
+    B, H, W, D, C, K = 2, 4, 128, 16, 24, 5
+    assert _rows_per_block(H, W) is not None
+    x4 = jnp.asarray(rng.standard_normal((B, H, W, D)), jnp.float32)
+    text_n = np.asarray(l2_normalize(
+        jnp.asarray(rng.standard_normal((C, D)), jnp.float32), axis=-1))
+    mask = np.zeros(C, bool)
+    mask[rng.choice(C, 16, replace=False)] = True
+
+    idx4, val4 = fused_pixel_text_topk(
+        x4, jnp.asarray(text_n), jnp.asarray(mask), top_k=K, interpret=True)
+    idx2, val2 = fused_pixel_text_topk(
+        x4.reshape(-1, D), jnp.asarray(text_n), jnp.asarray(mask),
+        top_k=K, tile_n=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx4), np.asarray(idx2))
+    np.testing.assert_allclose(np.asarray(val4), np.asarray(val2),
+                               rtol=1e-5, atol=1e-6)
+
+    # bf16 field: same top-k winners on well-separated random scores
+    idxb, _ = fused_pixel_text_topk(
+        x4.astype(jnp.bfloat16), jnp.asarray(text_n), jnp.asarray(mask),
+        top_k=K, interpret=True)
+    assert (np.asarray(idxb) == np.asarray(idx4)).mean() > 0.95

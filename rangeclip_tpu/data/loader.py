@@ -48,9 +48,12 @@ def _shard_indices(
     if shuffle:
         g = np.random.default_rng(seed + epoch)
         idx = [idx[i] for i in g.permutation(len(idx))]
-    if num_shards > 1:
+    if num_shards > 1 and len(idx) > 0:
         total = -(-len(idx) // num_shards) * num_shards
-        idx = (idx * 2)[:total] if len(idx) > 0 else idx
+        # Modular wrap: repeat the list however many times the pad needs
+        # (a single doubling under-fills when num_shards > 2*len(idx),
+        # giving ragged shard lengths -> multi-host step-count skew).
+        idx = [idx[i % len(idx)] for i in range(total)]
         idx = idx[shard_id::num_shards]
     return idx
 

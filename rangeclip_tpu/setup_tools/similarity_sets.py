@@ -28,7 +28,14 @@ def similarity_sets_from_matrix(
     medium_range=(0.75, 0.8),
     max_per_set: int = 50,
 ):
-    """-> (same, medium, hard) lists per label index."""
+    """-> (same, medium, hard) lists per label index.
+
+    Truncation order matches the reference exactly
+    (generate_label_similarity_sets.py:58-59): hard/medium sets are sorted
+    ascending by similarity before the ``[:max_per_set]`` cut — the kept 50
+    are the *lowest*-similarity members — while ``same`` sets are untruncated
+    and stay in index order (:50-52).
+    """
     C = sim.shape[0]
     same: List[List[int]] = []
     medium: List[List[int]] = []
@@ -36,16 +43,15 @@ def similarity_sets_from_matrix(
     for i in range(C):
         row = sim[i].copy()
         row[i] = -np.inf  # exclude self
-        same.append([int(j) for j in np.where(row >= same_threshold)[0]][:max_per_set])
-        hard.append(
-            [int(j) for j in np.where((row >= hard_range[0]) & (row < hard_range[1]))[0]]
-            [:max_per_set]
-        )
-        medium.append(
-            [int(j) for j in
-             np.where((row >= medium_range[0]) & (row < medium_range[1]))[0]]
-            [:max_per_set]
-        )
+
+        def lowest_first(lo: float, hi: float) -> List[int]:
+            js = np.where((row >= lo) & (row < hi))[0]
+            order = np.argsort(row[js], kind="stable")
+            return [int(j) for j in js[order][:max_per_set]]
+
+        same.append([int(j) for j in np.where(row >= same_threshold)[0]])
+        hard.append(lowest_first(*hard_range))
+        medium.append(lowest_first(*medium_range))
     return same, medium, hard
 
 

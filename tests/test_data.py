@@ -106,6 +106,45 @@ def test_sharded_loader_partitions_and_pads():
     assert len(list(l4)) == 1
 
 
+def test_shard_indices_wraps_modularly_for_many_shards():
+    """More shards than 2x the index list: the pad must wrap the list
+    modularly (DistributedSampler semantics) so every shard gets exactly
+    ceil(n/num_shards) indices — a single doubling under-fills and skews
+    multi-host step counts."""
+    from rangeclip_tpu.data.loader import _shard_indices
+
+    indices = [7, 8, 9]
+    num_shards = 8
+    shards = [
+        _shard_indices(indices, epoch=0, shard_id=s, num_shards=num_shards,
+                       shuffle=False)
+        for s in range(num_shards)
+    ]
+    assert all(len(s) == 1 for s in shards)
+    flat = [i for s in shards for i in s]
+    assert flat == [indices[i % 3] for i in range(8)]
+
+
+def test_similarity_sets_keep_lowest_similarity_members():
+    """Hard/medium sets sort ascending by similarity before the [:50] cut
+    (reference generate_label_similarity_sets.py:58-59); same sets are
+    untruncated (:50-52)."""
+    from rangeclip_tpu.setup_tools.similarity_sets import (
+        similarity_sets_from_matrix,
+    )
+
+    C = 6
+    sim = np.full((C, C), 0.0, np.float32)
+    np.fill_diagonal(sim, 1.0)
+    # label 0's hard band [0.8, 0.85): labels 1..4 with descending sims
+    sim[0, 1], sim[0, 2], sim[0, 3], sim[0, 4] = 0.84, 0.83, 0.82, 0.81
+    sim[1, 0], sim[2, 0], sim[3, 0], sim[4, 0] = 0.84, 0.83, 0.82, 0.81
+    same, medium, hard = similarity_sets_from_matrix(sim, max_per_set=2)
+    # kept members are the two LOWEST-similarity ones, ascending order
+    assert hard[0] == [4, 3]
+    assert medium[0] == []
+
+
 def test_label_structures():
     eq = {1: {1, 2}, 2: {1, 2}, 3: {3}}
     t = build_equivalence_tensor(eq, 5)

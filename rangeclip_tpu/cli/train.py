@@ -71,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "checkpoint_path if one exists (preemption "
                              "recovery)")
     parser.add_argument("--restore_path_encoder", type=str, default=None)
+    parser.add_argument("--freeze_encoder", action="store_true", default=None,
+                        help="freeze the depth encoder (eval-mode BN, zero "
+                             "updates); defaults to ON when "
+                             "--restore_path_encoder is given "
+                             "(train_util.py:158 semantics)")
+    parser.add_argument("--no_freeze_encoder", dest="freeze_encoder",
+                        action="store_false",
+                        help="finetune the restored encoder instead")
 
     parser.add_argument("--embedding_dim", type=int, default=512,
                         help="joint embedding dim; must match the CLIP "
@@ -121,6 +129,7 @@ def main(argv=None) -> None:
         validation_start_step=args.validation_start_step,
         restore_path_model=args.restore_path_model,
         restore_path_encoder=args.restore_path_encoder,
+        freeze_encoder=args.freeze_encoder,
         clip_checkpoint_path=args.clip_checkpoint_path,
         clip_vocab_path=args.clip_vocab_path,
         clip_merges_path=args.clip_merges_path,

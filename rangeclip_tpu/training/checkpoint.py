@@ -19,6 +19,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from rangeclip_tpu.training.state import TrainState
@@ -55,12 +56,29 @@ class CheckpointManager:
         """Encoder-only restore (the working version of the reference's
         missing ``restore_depth_encoder``; encoder.py:144-156 capability).
 
-        Returns params with the encoder subtree replaced.
+        Returns (params, batch_stats) with the encoder subtrees replaced —
+        the BN running statistics matter as much as the weights for a
+        frozen-encoder finetune, where the encoder always runs on them
+        (model.py:397 eval-mode encoder).
         """
-        restored = self.restore(template, step)
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoint found in {self.directory}")
+        # Raw (template-free) restore: the source run's optimizer structure
+        # need not match this run's (e.g. a plain-Adam pretrain restored
+        # into a frozen-encoder multi_transform finetune).
+        raw = self._mgr.restore(step)
         params = dict(template.params)
-        params["depth_encoder"] = restored.params["depth_encoder"]
-        return params
+        params["depth_encoder"] = jax.tree.map(
+            jnp.asarray, raw["params"]["depth_encoder"]
+        )
+        batch_stats = dict(template.batch_stats)
+        if "depth_encoder" in raw.get("batch_stats", {}):
+            batch_stats["depth_encoder"] = jax.tree.map(
+                jnp.asarray, raw["batch_stats"]["depth_encoder"]
+            )
+        return params, batch_stats
 
     def close(self) -> None:
         self._mgr.close()

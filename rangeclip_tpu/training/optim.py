@@ -23,18 +23,39 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
+import jax
 import optax
 
 
-def make_optimizer(weight_decay: float = 0.0) -> optax.GradientTransformation:
+def make_optimizer(
+    weight_decay: float = 0.0, freeze_encoder: bool = False
+) -> optax.GradientTransformation:
     """Adam with torch-style L2 weight decay; the learning rate is applied
-    by the train step (updates are the raw Adam direction, sign-flipped)."""
+    by the train step (updates are the raw Adam direction, sign-flipped).
+
+    ``freeze_encoder=True`` zeroes every update on the ``depth_encoder``
+    parameter subtree (the frozen-encoder finetune the reference requests
+    via train_util.py:158 restore(..., freeze_encoder=True)); the model
+    side of the freeze is eval-mode encoder BN
+    (DepthUNetConfig.freeze_encoder)."""
     txs = []
     if weight_decay > 0.0:
         txs.append(optax.add_decayed_weights(weight_decay))
     txs.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
     txs.append(optax.scale(-1.0))
-    return optax.chain(*txs)
+    tx = optax.chain(*txs)
+    if freeze_encoder:
+        def labels(params):
+            return {
+                k: jax.tree.map(
+                    lambda _: "frozen" if k == "depth_encoder" else "train", v
+                )
+                for k, v in params.items()
+            }
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, labels
+        )
+    return tx
 
 
 class MultiStepSchedule:

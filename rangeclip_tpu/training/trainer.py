@@ -78,6 +78,10 @@ class TrainerConfig:
     validation_start_step: int = 5000
     restore_path_model: Optional[str] = None
     restore_path_encoder: Optional[str] = None
+    # None -> freeze exactly when restore_path_encoder is given (the
+    # reference's intent: train_util.py:158 restores the encoder with
+    # freeze_encoder=True); True/False overrides.
+    freeze_encoder: Optional[bool] = None
     clip_checkpoint_path: Optional[str] = None
     clip_vocab_path: Optional[str] = None
     clip_merges_path: Optional[str] = None
@@ -159,14 +163,20 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
     text_table_np = text_provider(candidate_labels)
 
     # --- model + optimizer --------------------------------------------
+    freeze_encoder = (
+        cfg.freeze_encoder
+        if cfg.freeze_encoder is not None
+        else cfg.restore_path_encoder is not None
+    )
     model_cfg = DepthUNetConfig(
         unet_type=cfg.unet_architecture,
         embedding_dim=cfg.embedding_dim,
         use_batch_norm=cfg.use_batch_norm,
         dtype=jnp.bfloat16 if cfg.bf16 else None,
+        freeze_encoder=freeze_encoder,
     )
     model = DepthUNet(model_cfg)
-    optimizer = make_optimizer(cfg.w_weight_decay)
+    optimizer = make_optimizer(cfg.w_weight_decay, freeze_encoder=freeze_encoder)
     state = create_train_state(
         jax.random.key(cfg.seed), model_cfg, optimizer,
         (cfg.batch_size, cfg.n_height, cfg.n_width, 1),
@@ -179,8 +189,13 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
             f"(preemption recovery).", log_path)
     elif cfg.restore_path_encoder:
         enc_ckpt = CheckpointManager(cfg.restore_path_encoder)
-        state = state.replace(params=enc_ckpt.restore_encoder_params(state))
-        log("Restored encoder weights (frozen-encoder finetune).", log_path)
+        enc_params, enc_stats = enc_ckpt.restore_encoder_params(state)
+        state = state.replace(params=enc_params, batch_stats=enc_stats)
+        log(
+            "Restored encoder weights"
+            + (" (frozen-encoder finetune)." if freeze_encoder else "."),
+            log_path,
+        )
     elif cfg.restore_path_model:
         restore_mgr = CheckpointManager(cfg.restore_path_model)
         state = restore_mgr.restore(state)
@@ -248,7 +263,12 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
         train_loader.set_epoch(epoch)
         curriculum = get_curriculum_schedule(epoch, n_epoch)
         lr = schedule(epoch - 1)
-        epoch_losses = []
+        # Device-side loss accumulator: fetching the loss every step blocks
+        # async dispatch and stalls the input pipeline, so the running sum
+        # stays on device and crosses to the host only on the summary /
+        # checkpoint / epoch-end cadences.
+        loss_sum = None
+        loss_count = 0
 
         microbatches = []
         image_embs = []
@@ -279,11 +299,14 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
                 jax.block_until_ready(state)
                 jax.profiler.stop_trace()
                 log(f"Profiler trace written to {cfg.profile_dir}", log_path)
-            loss_val = float(info["total_loss"])
-            epoch_losses.append(loss_val)
+            loss_sum = (info["total_loss"] if loss_sum is None
+                        else loss_sum + info["total_loss"])
+            loss_count += 1
 
             if is_host0 and train_step_count % cfg.n_step_per_summary == 0:
-                train_writer.add_scalar("Loss/train_step", loss_val, train_step_count)
+                train_writer.add_scalar("Loss/train_step",
+                                        float(info["total_loss"]),
+                                        train_step_count)
                 train_writer.add_scalar("Loss/text_contrast",
                                         float(info["text_contrastive_loss"]),
                                         train_step_count)
@@ -320,7 +343,7 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
                 )
 
             if is_host0 and train_step_count % cfg.n_step_per_checkpoint == 0:
-                avg = float(np.mean(epoch_losses)) if epoch_losses else 0.0
+                avg = float(loss_sum) / loss_count if loss_count else 0.0
                 log_training_summary(log_path, train_step_count, n_train_steps,
                                      start_step, avg, time_start)
                 ckpt.save(state)
@@ -329,7 +352,7 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
                 done = True
                 break
 
-        avg_epoch = float(np.mean(epoch_losses)) if epoch_losses else 0.0
+        avg_epoch = float(loss_sum) / loss_count if loss_count else 0.0
         if is_host0:
             log(
                 f"Epoch {epoch} END | Step {train_step_count} | "

@@ -145,25 +145,44 @@ def cmd_robustness(args) -> None:
     )
     eq_map = build_equivalence_class_map(eq)
 
-    text_provider = get_text_provider(dim=args.embedding_dim)
-    text_table = jnp.asarray(text_provider(labels), jnp.float32)
+    if args.subject == "clipseg":
+        # The reference's actual benchmark subject (segclip.py:342-344):
+        # HF CLIPSeg scoring per-sample GT+distractor prompts on the
+        # perturbed RGB.  Reproduces BASELINE.md's published rows when the
+        # CIDAS/clipseg-rd64-refined weights are available locally.
+        from rangeclip_tpu.benchmark.clipseg import (
+            hf_clipseg_logits_fn,
+            make_clipseg_predict_fn,
+        )
 
-    cfg = DepthUNetConfig(use_batch_norm=True, embedding_dim=args.embedding_dim)
-    model = DepthUNet(cfg)
-    template = create_train_state(jax.random.key(0), cfg, make_optimizer(0.0),
-                                  (args.batch_size, args.n_height, args.n_width, 1))
-    state = CheckpointManager(args.checkpoint_dir).restore(template)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+        predict_fn = make_clipseg_predict_fn(
+            hf_clipseg_logits_fn(args.clipseg_path), labels,
+            num_distractors=20,
+        )
+    else:
+        if not args.checkpoint_dir:
+            raise SystemExit("--subject depth requires --checkpoint_dir")
+        text_provider = get_text_provider(dim=args.embedding_dim)
+        text_table = jnp.asarray(text_provider(labels), jnp.float32)
 
-    @jax.jit
-    def _predict(variables, depth, cand):
-        return model.apply(variables, depth, text_table, cand, 5,
-                           method=DepthUNet.predict)[0]
+        cfg = DepthUNetConfig(use_batch_norm=True,
+                              embedding_dim=args.embedding_dim)
+        model = DepthUNet(cfg)
+        template = create_train_state(
+            jax.random.key(0), cfg, make_optimizer(0.0),
+            (args.batch_size, args.n_height, args.n_width, 1))
+        state = CheckpointManager(args.checkpoint_dir).restore(template)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    def predict_fn(rng, batch, _enhanced_image):
-        seg = jnp.asarray(batch["segmentation"])
-        cand = build_candidate_mask(rng, seg, num_classes, 20)
-        return _predict(variables, jnp.asarray(batch["depth"]), cand)
+        @jax.jit
+        def _predict(variables, depth, cand):
+            return model.apply(variables, depth, text_table, cand, 5,
+                               method=DepthUNet.predict)[0]
+
+        def predict_fn(rng, batch, _enhanced_image):
+            seg = jnp.asarray(batch["segmentation"])
+            cand = build_candidate_mask(rng, seg, num_classes, 20)
+            return _predict(variables, jnp.asarray(batch["depth"]), cand)
 
     results = robustness_sweep(
         lambda: val_loader, predict_fn, eq, eq_map, num_classes,
@@ -236,7 +255,14 @@ def main(argv=None) -> None:
     r.add_argument("--labeled_metadata_path", required=True)
     r.add_argument("--labels_path", required=True)
     r.add_argument("--equivalence_dict_path", required=True)
-    r.add_argument("--checkpoint_dir", required=True)
+    r.add_argument("--subject", choices=["depth", "clipseg"], default="depth",
+                   help="segmenter to sweep: the depth model from "
+                        "--checkpoint_dir, or HF CLIPSeg (the reference's "
+                        "RGB baseline, segclip.py:342-344)")
+    r.add_argument("--checkpoint_dir", default=None,
+                   help="required for --subject depth")
+    r.add_argument("--clipseg_path", default="CIDAS/clipseg-rd64-refined",
+                   help="local HF path for --subject clipseg")
     r.add_argument("--batch_size", type=int, default=8)
     r.add_argument("--n_height", type=int, default=224)
     r.add_argument("--n_width", type=int, default=224)

@@ -98,3 +98,48 @@ def test_seg_former_equivalence_aware():
         batches, wrong_but_equivalent, C, equivalence_tensor=equiv,
         num_negatives=C)
     assert acc == 1.0
+
+
+def test_clipseg_adapter_reconstructs_segmentation():
+    """The CLIPSeg subject (benchmark/clipseg.py) with an oracle logits_fn:
+    per-prompt one-hot logits at the GT pixels must reconstruct the
+    segmentation exactly through the prompt->global index mapping."""
+    import jax
+
+    from rangeclip_tpu.benchmark.clipseg import (
+        clipseg_topk_from_logits,
+        make_clipseg_predict_fn,
+    )
+
+    labels = [f"class_{i}" for i in range(C)]
+    name_to_idx = {n: i for i, n in enumerate(labels)}
+    batches = _loader(1)
+    # blocky segmentation: half-res logits can then reconstruct it
+    rng = np.random.default_rng(7)
+    blocks = rng.integers(1, C, size=(B, H // 4, W // 4)).astype(np.int32)
+    batches[0]["segmentation"] = np.kron(blocks, np.ones((4, 4), np.int32))
+    seg = batches[0]["segmentation"]
+
+    def oracle_logits_fn(prompts, image_hwc):
+        # half resolution, like the real CLIPSeg's 352^2 internal grid
+        h, w = H // 2, W // 2
+        out = np.full((len(prompts), h, w), -5.0, np.float32)
+        b = oracle_logits_fn.calls
+        small = seg[b][::2, ::2]
+        for p, name in enumerate(prompts):
+            out[p][small == name_to_idx[name]] = 5.0
+        oracle_logits_fn.calls += 1
+        return out
+
+    oracle_logits_fn.calls = 0
+    predict_fn = make_clipseg_predict_fn(oracle_logits_fn, labels,
+                                         num_distractors=2, top_k=3)
+    pred = predict_fn(jax.random.key(0), batches[0], batches[0]["image"])
+    assert pred.shape == (B, H, W, 3)
+    assert (np.asarray(pred)[..., 0] == seg).mean() > 0.8  # bilinear edges
+
+    # fewer prompts than top_k pads by repeating the last column
+    one = clipseg_topk_from_logits(
+        np.zeros((2, 4, 4), np.float32), [3, 6], (8, 8), top_k=5)
+    assert one.shape == (8, 8, 5)
+    assert set(np.asarray(one).ravel()) <= {3, 6}

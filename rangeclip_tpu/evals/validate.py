@@ -58,10 +58,14 @@ def make_val_step(
         cand_mask = build_candidate_mask(
             key_cand, batch["segmentation"], num_classes, num_negatives
         )
+        # The loss recompute consumes the NATIVE-resolution normalized field
+        # via the exact upsample identities (hybrid.py label_upsample) —
+        # same values, no full-res [B, H, W, D] materialization.
         pred_topk, pixel_emb, _ = model.apply(
             variables, batch["depth"], text_table, cand_mask, top_k,
-            method=DepthUNet.predict,
+            method=DepthUNet.predict, return_embeddings="native",
         )
+        ups = batch["depth"].shape[1] // pixel_emb.shape[1]
         acc = metrics_update(
             acc, pred_topk, batch["segmentation"], equivalence_tensor,
             equiv_class_map, pixel_weight=batch["sample_valid"],
@@ -72,7 +76,8 @@ def make_val_step(
             "i": jnp.exp(params["log_temperature_image"]),
         }
         area_emb = per_item_masked_pooling(
-            pixel_emb, batch["segmentation"], batch["object_label"]
+            pixel_emb, batch["segmentation"], batch["object_label"],
+            upsample=ups,
         )
         total, info = compute_hybrid_loss(
             key_loss,
@@ -90,6 +95,7 @@ def make_val_step(
             area_valid=batch["sample_valid"],
             sample_weight=batch["sample_valid"],
             config=loss_config,
+            label_upsample=ups,
         )
         loss_parts = jnp.stack(
             [

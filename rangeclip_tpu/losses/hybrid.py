@@ -50,6 +50,7 @@ def compute_hybrid_loss(
     area_valid: Optional[jax.Array] = None,
     sample_weight: Optional[jax.Array] = None,
     config: HybridLossConfig = HybridLossConfig(),
+    label_upsample: int = 1,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Full hybrid loss (model.py:178-355).
 
@@ -57,6 +58,18 @@ def compute_hybrid_loss(
       rng: key consumed for pixel sampling + distractor draws.
       pixel_embeddings: [B, H, W, D] decoder output (already L2-normalized).
       target_indices: [B, H, W] int segmentation labels.
+      label_upsample: s >= 1 — the NATIVE-RESOLUTION training mode.  The
+        model's full-resolution field is a nearest xs upsample of the
+        decoder's native output (decoder.py:79); every loss term commutes
+        with that upsample exactly, so pass the native field
+        [B, H/s, W/s, D] with full-res labels [B, H, W] and s here:
+          * pixel-text CE: each native pixel carries its s^2 children's
+            (label, weight) pairs as label slots (infonce.py);
+          * TV: native differences with per-direction pair-count scaling
+            (smoothness.py);
+        identical losses and gradients, ~4x less HBM traffic.  The caller
+        pools areas with the same identity
+        (per_item_masked_pooling(..., upsample=s)).
       candidate_text_embeddings: [C, D] frozen CLIP text table (unnormalized).
       medium_matrix / hard_matrix: [C, C] bool similarity sets.
       pct_medium / pct_hard: curriculum fractions (traced scalars OK).
@@ -68,11 +81,19 @@ def compute_hybrid_loss(
     """
     cfg = config
     num_classes = candidate_text_embeddings.shape[0]
+    s = label_upsample
+    if s > 1:
+        B_, h_, w_ = (pixel_embeddings.shape[0], pixel_embeddings.shape[1],
+                      pixel_embeddings.shape[2])
+        assert target_indices.shape == (B_, h_ * s, w_ * s), (
+            f"native field {pixel_embeddings.shape} x{s} vs labels "
+            f"{target_indices.shape}"
+        )
 
     text_loss = jnp.float32(0.0)
     if cfg.w_text > 0:
         key_pix, key_contrast = jax.random.split(rng)
-        if use_tpu_kernels():
+        if s > 1 or use_tpu_kernels():
             # Multiplicity-weighted reformulation: identical estimator, no
             # row gather / scatter-add adjoint (see infonce.py).
             valid, labels = sample_pixel_multiplicities(
@@ -101,6 +122,14 @@ def compute_hybrid_loss(
             pct_medium,
             pct_hard,
         )
+        if s > 1:
+            # Slot the s^2 full-res children of each native pixel: flat
+            # full-res index ((b*H + (s*i+a))*W + (s*j+c)) regroups to slot
+            # (a, c) of native flat index ((b*h + i)*w + j).
+            labels = labels.reshape(B_, h_, s, w_, s).transpose(
+                2, 4, 0, 1, 3).reshape(s * s, B_ * h_ * w_)
+            valid = valid.reshape(B_, h_, s, w_, s).transpose(
+                2, 4, 0, 1, 3).reshape(s * s, B_ * h_ * w_)
         text_loss = pixel_text_infonce(
             samples, labels, valid, candidate_text_embeddings, contrast_mask,
             temperature_text,
@@ -120,7 +149,7 @@ def compute_hybrid_loss(
 
     smooth_loss = jnp.float32(0.0)
     if cfg.w_smooth > 0:
-        smooth_loss = total_variation_loss(pixel_embeddings)
+        smooth_loss = total_variation_loss(pixel_embeddings, upsample=s)
 
     total = cfg.w_text * text_loss + cfg.w_image * image_loss + cfg.w_smooth * smooth_loss
 

@@ -186,6 +186,11 @@ def pixel_text_infonce(
     -inf logits and vanish from the softmax.  Returns 0 when fewer than 2
     contrast classes or no valid samples exist (reference warning paths).
 
+    ``labels``/``valid`` may be flat [N] (one label per sample) or label
+    SLOTS [S, N]: sample i contributes sum_s valid[s, i] * CE_i(labels[s, i])
+    — the native-resolution training identity where one decoder pixel
+    carries the labels of its nearest-upsample children.
+
     On TPU the normalize -> matmul -> masked-CE chain runs as a fused Pallas
     kernel pair (custom VJP) that never materializes the [N, C] logits in
     HBM (ops/pallas/pixel_text_ce.py); elsewhere it is the XLA formulation
@@ -207,6 +212,8 @@ def pixel_text_infonce(
 
     if samples.ndim == 4:
         samples = samples.reshape(-1, samples.shape[-1])
+    labels2 = labels if labels.ndim == 2 else labels[None]
+    valid2 = valid if valid.ndim == 2 else valid[None]
 
     pred_n = l2_normalize(samples.astype(jnp.float32), axis=-1)
     text_n = l2_normalize(text_embeddings.astype(jnp.float32), axis=-1)
@@ -217,10 +224,12 @@ def pixel_text_infonce(
     logits = jnp.where(contrast_mask[None, :], logits, NEG_INF)
 
     log_z = jax.nn.logsumexp(logits, axis=-1)
-    picked = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
-    ce = log_z - picked
+    ce_sum = jnp.float32(0.0)
+    for s in range(labels2.shape[0]):
+        picked = jnp.take_along_axis(logits, labels2[s][:, None], axis=-1)[:, 0]
+        ce_sum = ce_sum + jnp.sum((log_z - picked) * valid2[s])
 
-    loss = jnp.sum(ce * valid) / jnp.maximum(n_valid, 1.0)
+    loss = ce_sum / jnp.maximum(n_valid, 1.0)
     return jnp.where(ok, loss, 0.0)
 
 

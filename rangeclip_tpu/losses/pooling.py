@@ -59,18 +59,28 @@ def per_item_masked_pooling(
     pixel_embeddings: jax.Array,
     segmentation_map: jax.Array,
     labels: jax.Array,
+    upsample: int = 1,
 ) -> jax.Array:
     """Per-batch-item pooling (dataloader.py:287-304): item b's area embedding
     averages its own pixels where ``segmentation[b] == labels[b]``.
 
     Args:
       pixel_embeddings: [B, H, W, D].
-      segmentation_map: [B, H, W] int.
+      segmentation_map: [B, H, W] int — or [B, s*H, s*W] with ``upsample=s``
+        (native-resolution training): pooling the nearest xs upsampled field
+        over the full-res mask equals pooling the native field with per-pixel
+        child counts as weights (exact identity; the sxs sum-pool of the
+        mask runs on a scalar field, not the D-channel embeddings).
       labels: [B] int (the chosen object per item).
 
     Returns: [B, D]; zero rows where the label covers no pixels.
     """
     mask = (segmentation_map == labels[:, None, None]).astype(jnp.float32)
+    if upsample > 1:
+        B = mask.shape[0]
+        h = mask.shape[1] // upsample
+        w = mask.shape[2] // upsample
+        mask = mask.reshape(B, h, upsample, w, upsample).sum(axis=(2, 4))
     sums = jnp.einsum(
         "bhw,bhwd->bd", mask, pixel_embeddings.astype(jnp.float32),
         preferred_element_type=jnp.float32,

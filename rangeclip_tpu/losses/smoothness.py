@@ -11,12 +11,22 @@ import jax
 import jax.numpy as jnp
 
 
-def total_variation_loss(pixel_embeddings: jax.Array) -> jax.Array:
+def total_variation_loss(
+    pixel_embeddings: jax.Array, upsample: int = 1
+) -> jax.Array:
     """pixel_embeddings: [B, H, W, D] (NHWC).
 
     Differences/abs run in the input dtype (halving HBM traffic under the
     bf16 policy — this term is bandwidth-bound); the mean accumulates in
     fp32 either way.  fp32 inputs -> bit-identical to the fp32 reference.
+
+    ``upsample=s`` computes the EXACT TV of the nearest xs upsample of the
+    input without materializing it: inside an sxs block all differences are
+    zero, and each native cross-boundary difference appears s times per
+    direction, so
+      mean_full_h = mean_native_h * (W - 1) / (s*W - 1)   (W native width)
+    and symmetrically for the vertical term.  Used by the native-resolution
+    training mode (hybrid.py label_upsample).
 
     A fused Pallas formulation exists (ops/pallas/tv_loss.py, correct and
     grad-exact) but measured SLOWER than this XLA version at bf16 on v5e
@@ -30,4 +40,8 @@ def total_variation_loss(pixel_embeddings: jax.Array) -> jax.Array:
                     dtype=jnp.float32)
     tv_v = jnp.mean(jnp.abs(x[:, :-1, :, :] - x[:, 1:, :, :]),
                     dtype=jnp.float32)
+    if upsample > 1:
+        H, W = x.shape[1], x.shape[2]
+        tv_h = tv_h * ((W - 1) / (upsample * W - 1))
+        tv_v = tv_v * ((H - 1) / (upsample * H - 1))
     return tv_h + tv_v

@@ -41,6 +41,7 @@ class DepthDecoder(nn.Module):
         target_shape: Optional[Tuple[int, int]],
         train: bool = False,
         normalize: bool = True,
+        apply_head: bool = True,
     ) -> jax.Array:
         """``target_shape=None`` skips the final nearest upsample and returns
         the field at its native resolution (H/2 — the resolution of the last
@@ -51,7 +52,13 @@ class DepthDecoder(nn.Module):
 
         ``normalize=False`` returns the raw output-conv field for consumers
         that fuse the L2 normalization themselves (the Pallas scoring
-        kernels) — one full read+write of the field saved per skip."""
+        kernels) — one full read+write of the field saved per skip.
+
+        ``apply_head=False`` stops before the output conv and returns the
+        last block's features [B, H/2, W/2, n_filters[-1]] for consumers
+        that fuse the whole head (conv + normalize + scoring,
+        ops/pallas/head_topk.py) — the [.., D] field then never exists in
+        HBM at all."""
         # Skips are the reversed encoder features minus the deepest one
         # (decoder.py:98): [g3@H/16, g2@H/8, g1@H/4, conv1@H/2] for resnet18.
         skip_features = encoder_features[:-1][::-1]
@@ -76,6 +83,8 @@ class DepthDecoder(nn.Module):
             x = DecoderBlock(self.n_filters[i], use_skip=True, name=f"up_block{i}", **common)(
                 x, skip_features[i - 1], train
             )
+        if not apply_head:
+            return x
 
         x = Conv2d(
             self.embedding_dim,

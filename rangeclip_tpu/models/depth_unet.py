@@ -54,6 +54,11 @@ class DepthUNetConfig:
     temperature_image: float = 0.1
     dtype: Optional[Any] = None  # compute dtype; None -> fp32
     bn_axis_name: Optional[str] = None
+    # Frozen-encoder finetune (model.py:397: the encoder stays in eval mode
+    # while training — BN uses running statistics and never updates them;
+    # the optimizer side of the freeze is optax-masked zero updates,
+    # training/optim.py make_optimizer(freeze_encoder=True)).
+    freeze_encoder: bool = False
 
 
 class DepthUNet(nn.Module):
@@ -117,7 +122,10 @@ class DepthUNet(nn.Module):
         if depth.ndim == 3:
             depth = depth[..., None]
         target_shape = depth.shape[1:3]
-        _, encoder_features, final_feature_map = self.depth_encoder(depth, train)
+        encoder_train = train and not self.config.freeze_encoder
+        _, encoder_features, final_feature_map = self.depth_encoder(
+            depth, encoder_train
+        )
         pixel_embeddings = self.depth_decoder(
             final_feature_map, encoder_features, target_shape, train
         )
@@ -130,6 +138,45 @@ class DepthUNet(nn.Module):
     def embed(self, depth: jax.Array, train: bool = False) -> jax.Array:
         """Pixel embeddings only (inference helper)."""
         return self(depth, train)[0]
+
+    def forward_native(
+        self, depth: jax.Array, train: bool = False
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Forward pass WITHOUT the final nearest upsample: the normalized
+        field at the decoder's native resolution [B, H/2, W/2, D].
+
+        The full-resolution field is exactly the nearest x2 upsample of
+        this one (decoder.py:79 + reference decoder.py:113-116), so the
+        training losses consume it directly via the upsample identities
+        (losses/hybrid.py label_upsample) — same losses/gradients, ~4x
+        less HBM traffic in the train step.
+        """
+        if depth.ndim == 3:
+            depth = depth[..., None]
+        encoder_train = train and not self.config.freeze_encoder
+        _, encoder_features, final_feature_map = self.depth_encoder(
+            depth, encoder_train
+        )
+        pixel_embeddings = self.depth_decoder(
+            final_feature_map, encoder_features, None, train
+        )
+        return (
+            pixel_embeddings,
+            jnp.exp(self.log_temperature_text),
+            jnp.exp(self.log_temperature_image),
+        )
+
+    def decode_features(self, depth: jax.Array) -> jax.Array:
+        """Pre-head decoder features [B, H/2, W/2, n_filters[-1]] — the
+        input to the output conv (decoder.py:75-82).  Feed these to
+        :func:`predict_topk_fused`, which fuses conv + normalize + scoring
+        + top-k into one Pallas kernel."""
+        if depth.ndim == 3:
+            depth = depth[..., None]
+        _, encoder_features, final_feature_map = self.depth_encoder(depth, False)
+        return self.depth_decoder(
+            final_feature_map, encoder_features, None, False, apply_head=False
+        )
 
     def predict(
         self,
@@ -167,6 +214,9 @@ class DepthUNet(nn.Module):
             native-resolution field instead — un-normalized on the Pallas
             path, where the kernel fuses the normalization and the HBM
             round-trip of a normalized field is exactly what's being saved.
+            ``"native"`` returns the L2-NORMALIZED field at native
+            resolution — what the native-resolution loss path consumes
+            (evals/validate.py + hybrid.py label_upsample).
 
         Returns:
           (topk_pred_indices [B, H, W, k] int32 in the global label space,
@@ -212,7 +262,7 @@ class DepthUNet(nn.Module):
                 top_k=top_k,
             )
             topk_indices = idx.reshape(B, H, W, top_k)
-            if return_embeddings:
+            if return_embeddings:  # True or "native"
                 pixel_embeddings = l2_normalize(pixel_embeddings, axis=-1)
         else:
             logits = jnp.einsum(
@@ -226,9 +276,58 @@ class DepthUNet(nn.Module):
 
         if (H, W) != target_shape:
             topk_indices = resize_nearest(topk_indices, target_shape)
-            if return_embeddings:
+            if return_embeddings is True:
                 pixel_embeddings = resize_nearest(pixel_embeddings, target_shape)
         return topk_indices, pixel_embeddings, temp_text
+
+
+def predict_topk_fused(
+    model: DepthUNet,
+    variables,
+    depth: jax.Array,
+    candidate_text_embeddings: jax.Array,
+    candidate_mask: jax.Array,
+    top_k: int = 5,
+    interpret: bool = False,
+) -> jax.Array:
+    """Labels-only predict with the whole segmentation head in one Pallas
+    kernel (ops/pallas/head_topk.py) — the [B, H, W, D] embedding field is
+    never materialized in HBM.  Exactly the same top-k labels as
+    ``DepthUNet.predict`` modulo matmul precision (bit-equal in fp32,
+    tests/test_pallas_kernels.py::test_fused_head_matches_predict).
+
+    OPT-IN: benchmarked slower than the default predict at the canonical
+    config (1900 vs 2016 maps/s on v5e — see head_topk.py's docstring for
+    why); not dispatched by default.
+
+    The output-conv weights are read straight from ``variables`` (the head
+    conv is bias-free with no norm/activation, blocks.py Conv2d with
+    ``activation=None``), so this is a plain function over the same
+    (variables, inputs) predict consumes — TPU-only, inference-only.
+
+    Returns topk indices [B, H, W, k] int32 in the global label space.
+    """
+    from rangeclip_tpu.ops.pallas.head_topk import fused_head_score_topk
+
+    if depth.ndim == 3:
+        depth = depth[..., None]
+    target_shape = depth.shape[1:3]
+    features = model.apply(
+        variables, depth, method=DepthUNet.decode_features
+    )
+    head_kernel = variables["params"]["depth_decoder"]["output_conv"]["conv"][
+        "kernel"
+    ]
+    text = l2_normalize(candidate_text_embeddings.astype(jnp.float32), axis=-1)
+    B, h, w, _ = features.shape
+    idx, _ = fused_head_score_topk(
+        features, head_kernel, text, candidate_mask, top_k=top_k,
+        interpret=interpret,
+    )
+    topk_indices = idx.reshape(B, h, w, top_k)
+    if (h, w) != target_shape:
+        topk_indices = resize_nearest(topk_indices, target_shape)
+    return topk_indices
 
 
 def build_candidate_mask(

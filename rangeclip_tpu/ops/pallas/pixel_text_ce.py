@@ -59,10 +59,21 @@ def _fwd_kernel(inv_temp_ref, samples_ref, labels_ref, valid_ref, text_ref,
 
     TN, C = logits.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (TN, C), dimension=1)
-    onehot = cols == labels_ref[0, :][:, None]
-    picked = jnp.sum(jnp.where(onehot, logits, 0.0), axis=1)
+    # Label SLOTS: each sample row carries S (label, weight) pairs and its
+    # CE contribution is sum_s w_s (lse - picked_s) — the native-resolution
+    # training identity, where one decoder pixel serves the labels of its
+    # upsample children.  S == 1 is the classic one-label-per-pixel case.
+    S = labels_ref.shape[0]
+    wsum = jnp.zeros((TN,), jnp.float32)
+    wpick = jnp.zeros((TN,), jnp.float32)
+    for s in range(S):
+        onehot = cols == labels_ref[s, :][:, None]
+        picked = jnp.sum(jnp.where(onehot, logits, 0.0), axis=1)
+        w = valid_ref[s, :]
+        wsum = wsum + w
+        wpick = wpick + w * picked
 
-    ce_ref[0, :] = (lse - picked) * valid_ref[0, :]
+    ce_ref[0, :] = wsum * lse - wpick
 
 
 def _bwd_kernel(inv_temp_ref, coeff_ref, samples_ref, labels_ref, valid_ref,
@@ -75,16 +86,26 @@ def _bwd_kernel(inv_temp_ref, coeff_ref, samples_ref, labels_ref, valid_ref,
 
     TN, C = logits.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (TN, C), dimension=1)
-    onehot = (cols == labels_ref[0, :][:, None]).astype(jnp.float32)
 
-    w = coeff_ref[0] * valid_ref[0, :]  # [TN]
-    delta = (p - onehot) * w[:, None]  # [TN, C]
+    # Multi-slot generalization (see _fwd_kernel): with per-row weight sum
+    # W = sum_s w_s,  d logits = p * W - sum_s w_s * onehot_s,  and
+    # d logtau = sum_s w_s * picked_s - W * E_p[logits].
+    S = labels_ref.shape[0]
+    wsum = jnp.zeros((TN,), jnp.float32)
+    wonehot = jnp.zeros((TN, C), jnp.float32)
+    wpick = jnp.zeros((TN,), jnp.float32)
+    for s in range(S):
+        onehot = (cols == labels_ref[s, :][:, None]).astype(jnp.float32)
+        w = coeff_ref[0] * valid_ref[s, :]  # [TN]
+        wsum = wsum + w
+        wonehot = wonehot + w[:, None] * onehot
+        wpick = wpick + w * jnp.sum(onehot * logits, axis=1)
 
-    # per-sample d log-temperature: dCE/dlogtau = picked - E_p[logits]
-    picked = jnp.sum(onehot * logits, axis=1)
+    delta = p * wsum[:, None] - wonehot  # [TN, C]
+
     exp_logit = jnp.sum(jnp.where(mask_ref[:][None, :] != 0, p * logits, 0.0),
                         axis=1)
-    dtau_ref[0, :] = w * (picked - exp_logit)
+    dtau_ref[0, :] = wpick - wsum * exp_logit
 
     # d samples through logits and the L2 normalize
     d_emb = jax.lax.dot_general(
@@ -112,13 +133,22 @@ def _rows_per_block(H: int, W: int):
     return None
 
 
+def _as_slots(labels, valid):
+    """Labels/valid [N] -> [1, N]; [S, N] passes through."""
+    if labels.ndim == 1:
+        labels = labels[None]
+    if valid.ndim == 1:
+        valid = valid[None]
+    return labels, valid
+
+
 def _pad_inputs(samples, labels, valid, tile_n):
     N = samples.shape[0]
     pad = (-N) % tile_n
     if pad:
         samples = jnp.pad(samples, ((0, pad), (0, 0)))
-        labels = jnp.pad(labels, (0, pad))
-        valid = jnp.pad(valid, (0, pad))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
     return samples, labels, valid, N
 
 
@@ -141,8 +171,11 @@ def fused_pixel_text_ce(
         the physical relayout XLA inserts for the flat view (~28 ms/step at
         the canonical config).
       temperature: scalar (traced); logits = cos-sim / temperature.
-      labels: [N] int32 target classes.
-      valid: [N] float32 weights (0 = background).
+      labels: [N] int32 target classes — or [S, N] label SLOTS: sample i
+        contributes sum_s valid[s, i] * CE(logits_i, labels[s, i]).  Slots
+        implement native-resolution training exactly: one decoder pixel
+        carries the labels of its nearest-upsample children.
+      valid: [N] (or [S, N]) float32 weights (0 = background).
       text_normalized: [C, D] float32, L2-normalized rows.
       contrast_mask: [C] bool contrast-set membership.
     """
@@ -175,11 +208,13 @@ def _specs_and_grid(samples, tile_n):
 
 def _ce_forward(samples, temperature, labels, valid, text_normalized,
                 contrast_mask, tile_n, interpret):
+    labels, valid = _as_slots(labels, valid)
+    S = labels.shape[0]
     if samples.ndim == 4 and _rows_per_block(*samples.shape[1:3]) is None:
         samples = samples.reshape(-1, samples.shape[-1])
     if samples.ndim == 4:
         samples_p, labels_p, valid_p = samples, labels, valid
-        assert labels.shape[0] == samples.size // samples.shape[-1]
+        assert labels.shape[1] == samples.size // samples.shape[-1]
     else:
         samples_p, labels_p, valid_p, _ = _pad_inputs(
             samples, labels, valid, tile_n
@@ -193,8 +228,8 @@ def _ce_forward(samples, temperature, labels, valid, text_normalized,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_temp [1]
             samples_spec,
-            pl.BlockSpec((1, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
@@ -205,8 +240,8 @@ def _ce_forward(samples, temperature, labels, valid, text_normalized,
     )(
         (1.0 / temperature).astype(jnp.float32).reshape(1),
         samples_p,
-        labels_p.astype(jnp.int32).reshape(1, -1),
-        valid_p.astype(jnp.float32).reshape(1, -1),
+        labels_p.astype(jnp.int32),
+        valid_p.astype(jnp.float32),
         text_normalized.astype(jnp.float32),
         contrast_mask.astype(jnp.int32),
     )
@@ -224,14 +259,16 @@ def _ce_fwd_rule(samples, temperature, labels, valid, text_normalized,
 def _ce_bwd_rule(tile_n, interpret, residuals, g):
     samples, temperature, labels, valid, text_normalized, contrast_mask = residuals
     orig_shape = samples.shape
+    labels2, valid2 = _as_slots(labels, valid)
+    S = labels2.shape[0]
     if samples.ndim == 4 and _rows_per_block(*samples.shape[1:3]) is None:
         samples = samples.reshape(-1, samples.shape[-1])
     if samples.ndim == 4:
-        samples_p, labels_p, valid_p = samples, labels, valid
+        samples_p, labels_p, valid_p = samples, labels2, valid2
         N = samples.size // samples.shape[-1]
     else:
         samples_p, labels_p, valid_p, N = _pad_inputs(
-            samples, labels, valid, tile_n
+            samples, labels2, valid2, tile_n
         )
     C, D = text_normalized.shape
     grid, samples_spec, row_tile, n_padded = _specs_and_grid(samples_p, tile_n)
@@ -246,8 +283,8 @@ def _ce_bwd_rule(tile_n, interpret, residuals, g):
             pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_temp [1]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff [1]
             samples_spec,
-            pl.BlockSpec((1, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
@@ -264,8 +301,8 @@ def _ce_bwd_rule(tile_n, interpret, residuals, g):
         (1.0 / temperature).astype(jnp.float32).reshape(1),
         jnp.asarray(g, jnp.float32).reshape(1),
         samples_p,
-        labels_p.astype(jnp.int32).reshape(1, -1),
-        valid_p.astype(jnp.float32).reshape(1, -1),
+        labels_p.astype(jnp.int32),
+        valid_p.astype(jnp.float32),
         text_normalized.astype(jnp.float32),
         contrast_mask.astype(jnp.int32),
     )

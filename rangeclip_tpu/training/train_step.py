@@ -16,10 +16,21 @@ TPU-native design:
     epoch-level schedule changes never recompile;
   * under a ``jax.sharding.Mesh`` the same step runs data-parallel: the
     trainer shards the batch over the 'data' axis and XLA inserts the psum
-    for gradients (DDP-allreduce equivalent) and for BN statistics
-    (sync-BN — a documented upgrade over per-replica BN); a 'model' axis
-    can shard the class dimension of the text table, with the softmax
-    logsumexp reduction becoming an ICI all-reduce automatically.
+    for gradients (DDP-allreduce equivalent); a 'model' axis can shard the
+    class dimension of the text table, with the softmax logsumexp
+    reduction becoming an ICI all-reduce automatically.
+
+BatchNorm under the mesh — precise semantics: this step is jitted over the
+whole mesh WITHOUT an axis name, so BN's batch statistics are ordinary
+``jnp.mean`` reductions over the full (global) batch axis; XLA lowers them
+to ICI all-reduces over the 'data'-sharded dimension.  That is exactly
+sync-BN over the global batch — NOT the reference's per-replica DDP BN
+(each torch rank normalizes with its local microbatch statistics).  The
+global-batch variant is the TPU-idiomatic choice (deterministic, no
+per-replica stat drift) but it is a documented semantic difference: a
+reference-exact multi-device parity run would need per-replica stats via
+``shard_map`` with ``bn_axis_name`` plumbed to a sub-axis, which no config
+currently enables.
 """
 
 from __future__ import annotations
@@ -42,6 +53,7 @@ def make_train_step(
     loss_config: HybridLossConfig = HybridLossConfig(),
     accum_steps: int = 8,
     donate: bool = True,
+    native_losses: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -56,24 +68,38 @@ def make_train_step(
       image_embeddings [A, B, D]     float32 (frozen CLIP crop embeddings;
                                      zeros when the image loss is disabled)
       sample_valid   [A, B]          float32
+
+    ``native_losses=True`` (default) evaluates every loss term at the
+    decoder's NATIVE resolution (H/2): the full-res field is a nearest x2
+    upsample, and CE / TV / area pooling all commute with that upsample
+    exactly (hybrid.py label_upsample) — identical losses and gradients
+    with ~4x less HBM traffic (the train step is bandwidth-bound).
+    ``native_losses=False`` is the literal full-resolution formulation for
+    parity runs.
     """
     use_image_loss = loss_config.w_image > 0
 
     def microbatch_loss(params, batch_stats, mb, rng, pct_m, pct_h,
                         text_table, medium_matrix, hard_matrix):
+        fwd = DepthUNet.forward_native if native_losses else None
         (pixel_emb, temp_t, temp_i), updated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             mb["depth"],
             train=True,
             mutable=["batch_stats"],
+            **({"method": fwd} if fwd else {}),
         )
+        H = mb["depth"].shape[1]
+        ups = H // pixel_emb.shape[1]
+        assert H == ups * pixel_emb.shape[1], (H, pixel_emb.shape)
         area_emb = image_emb = None
         if use_image_loss:
             # Area embeddings come from the differentiable pixel field
             # (dataloader.py:287-304); CLIP crop embeddings are precomputed
             # and constant (stop_gradient is implicit — they are inputs).
             area_emb = per_item_masked_pooling(
-                pixel_emb, mb["segmentation"], mb["object_label"]
+                pixel_emb, mb["segmentation"], mb["object_label"],
+                upsample=ups,
             )
             image_emb = mb["image_embeddings"]
         total, info = compute_hybrid_loss(
@@ -92,6 +118,7 @@ def make_train_step(
             area_valid=mb["sample_valid"] if use_image_loss else None,
             sample_weight=mb.get("sample_valid"),
             config=loss_config,
+            label_upsample=ups,
         )
         return total, (info, updated["batch_stats"])
 

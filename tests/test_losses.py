@@ -261,3 +261,111 @@ def test_multiplicity_weighting_equals_gathered_sampling():
         emb.reshape(B * H * W, D), all_labels, weights, text, mask, temp
     )
     np.testing.assert_allclose(float(loss_gather), float(loss_mult), rtol=1e-5)
+
+
+def _nearest_up(x, s):
+    """Nearest xs upsample of [B, h, w, D]."""
+    B, h, w, D = x.shape
+    return jnp.broadcast_to(
+        x[:, :, None, :, None, :], (B, h, s, w, s, D)
+    ).reshape(B, h * s, w * s, D)
+
+
+def test_tv_upsample_identity():
+    """TV of the nearest xs upsample == native TV with per-direction
+    pair-count scaling (smoothness.py upsample)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 6, 10, 8)).astype(np.float32))
+    for s in (2, 3):
+        full = total_variation_loss(_nearest_up(x, s))
+        native = total_variation_loss(x, upsample=s)
+        np.testing.assert_allclose(float(native), float(full), rtol=1e-6)
+
+
+def test_per_item_pooling_upsample_identity():
+    """Pooling the upsampled field over the full-res mask == native pooling
+    with child-count weights (pooling.py upsample)."""
+    rng = np.random.default_rng(4)
+    B, h, w, D, s = 2, 5, 7, 8, 2
+    x = jnp.asarray(rng.standard_normal((B, h, w, D)).astype(np.float32))
+    seg = jnp.asarray(rng.integers(0, 4, (B, h * s, w * s)).astype(np.int32))
+    labels = jnp.asarray([1, 2], jnp.int32)
+    full = per_item_masked_pooling(_nearest_up(x, s), seg, labels)
+    native = per_item_masked_pooling(x, seg, labels, upsample=s)
+    np.testing.assert_allclose(np.asarray(native), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_infonce_label_slots_equal_upsampled():
+    """[S, N] label slots on the native field == flat CE on the nearest
+    upsampled field (the native-resolution training identity)."""
+    rng = np.random.default_rng(5)
+    B, h, w, D, C, s = 2, 4, 4, 16, 12, 2
+    x = jnp.asarray(rng.standard_normal((B, h, w, D)).astype(np.float32))
+    text = jnp.asarray(rng.standard_normal((C, D)).astype(np.float32))
+    seg = rng.integers(0, 6, (B, h * s, w * s)).astype(np.int32)
+    weights = (rng.random((B, h * s, w * s)) * 2).astype(np.float32) * (seg > 0)
+    mask = np.zeros(C, bool)
+    mask[list(range(8))] = True
+    temp = jnp.float32(0.07)
+
+    full = pixel_text_infonce(
+        _nearest_up(x, s).reshape(-1, D), jnp.asarray(seg.reshape(-1)),
+        jnp.asarray(weights.reshape(-1)), text, jnp.asarray(mask), temp)
+
+    lab = jnp.asarray(seg).reshape(B, h, s, w, s).transpose(
+        2, 4, 0, 1, 3).reshape(s * s, B * h * w)
+    val = jnp.asarray(weights).reshape(B, h, s, w, s).transpose(
+        2, 4, 0, 1, 3).reshape(s * s, B * h * w)
+    native = pixel_text_infonce(x.reshape(-1, D), lab, val, text,
+                                jnp.asarray(mask), temp)
+    np.testing.assert_allclose(float(native), float(full), rtol=1e-6)
+
+    # gradients agree too: d/dx of native slots == pullback of the
+    # upsample on d/dX of the full-res formulation
+    def loss_native(xx):
+        return pixel_text_infonce(xx.reshape(-1, D), lab, val, text,
+                                  jnp.asarray(mask), temp)
+
+    def loss_full(xx):
+        return pixel_text_infonce(
+            _nearest_up(xx, s).reshape(-1, D), jnp.asarray(seg.reshape(-1)),
+            jnp.asarray(weights.reshape(-1)), text, jnp.asarray(mask), temp)
+
+    g_native = jax.grad(loss_native)(x)
+    g_full = jax.grad(loss_full)(x)
+    np.testing.assert_allclose(np.asarray(g_native), np.asarray(g_full),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_hybrid_loss_native_equals_fullres():
+    """compute_hybrid_loss(label_upsample=2) on the native field == the
+    full-resolution loss on the nearest x2 upsample (same RNG key)."""
+    rng = np.random.default_rng(6)
+    B, h, w, D, C, s = 2, 8, 8, 16, 20, 2
+    x = jnp.asarray(rng.standard_normal((B, h, w, D)).astype(np.float32))
+    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    seg = jnp.asarray(rng.integers(0, 6, (B, h * s, w * s)).astype(np.int32))
+    text = jnp.asarray(rng.standard_normal((C, D)).astype(np.float32))
+    med = jnp.zeros((C, C), bool)
+    hard = jnp.zeros((C, C), bool)
+    area = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    img = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    key = jax.random.key(11)
+    kwargs = dict(
+        temperature_text=jnp.float32(0.07),
+        temperature_image=jnp.float32(0.1),
+        pct_medium=0.2, pct_hard=0.3,
+        area_embeddings=area, image_embeddings=img,
+        area_valid=jnp.ones((B,), jnp.float32),
+        sample_weight=jnp.asarray([1.0, 1.0], jnp.float32),
+    )
+    full, info_full = compute_hybrid_loss(
+        key, _nearest_up(x, s), seg, text, med, hard, **kwargs)
+    native, info_native = compute_hybrid_loss(
+        key, x, seg, text, med, hard, label_upsample=s, **kwargs)
+    np.testing.assert_allclose(float(native), float(full), rtol=1e-5)
+    for k in ("text_contrastive_loss", "smoothness_loss",
+              "image_contrastive_loss"):
+        np.testing.assert_allclose(float(info_native[k]), float(info_full[k]),
+                                   rtol=1e-5, atol=1e-7)

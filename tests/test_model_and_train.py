@@ -98,6 +98,134 @@ def test_train_step_runs_and_descends():
     assert losses[-1] < losses[0]
 
 
+def test_freeze_encoder_pins_encoder_while_decoder_trains():
+    """Frozen-encoder finetune (train_util.py:158, model.py:395-399):
+    encoder params and BN stats are bit-identical after training steps
+    while the decoder moves."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, freeze_encoder=True)
+    model = DepthUNet(cfg)
+    opt = make_optimizer(weight_decay=1e-4, freeze_encoder=True)
+    state = create_train_state(jax.random.key(0), cfg, opt, (1, 32, 32, 1))
+
+    A, B, H, W, C, D = 2, 2, 32, 32, 20, 32
+    key = jax.random.key(1)
+    batch = {
+        "depth": jax.random.normal(key, (A, B, H, W, 1)),
+        "segmentation": jax.random.randint(key, (A, B, H, W), 0, 6),
+        "object_label": jnp.ones((A, B), jnp.int32),
+        "image_embeddings": jax.random.normal(key, (A, B, D)),
+        "sample_valid": jnp.ones((A, B), jnp.float32),
+    }
+    text = jax.random.normal(jax.random.key(2), (C, D))
+    medium = jnp.zeros((C, C), bool)
+    hard = jnp.zeros((C, C), bool)
+
+    step = make_train_step(model, opt, HybridLossConfig(), accum_steps=A,
+                           donate=False)
+    s = state
+    for i in range(3):
+        s, info = step(s, batch, jax.random.key(3 + i), jnp.float32(1e-3),
+                       jnp.float32(0.25), jnp.float32(0.5), text, medium, hard)
+    assert np.isfinite(float(info["total_loss"]))
+
+    enc_delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                             state.params["depth_encoder"],
+                             s.params["depth_encoder"])
+    assert max(jax.tree.leaves(enc_delta)) == 0.0
+    stats_delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                               state.batch_stats["depth_encoder"],
+                               s.batch_stats["depth_encoder"])
+    assert max(jax.tree.leaves(stats_delta)) == 0.0
+
+    dec_delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                             state.params["depth_decoder"],
+                             s.params["depth_decoder"])
+    assert max(jax.tree.leaves(dec_delta)) > 0
+
+
+def test_native_loss_train_step_equals_fullres():
+    """make_train_step(native_losses=True) — losses at the decoder's native
+    resolution via the upsample identities — produces the same losses and
+    parameter updates as the full-resolution step (fp32, same keys)."""
+    model = _tiny_model()
+    opt = make_optimizer(weight_decay=1e-4)
+
+    A, B, H, W, C, D = 2, 2, 32, 32, 20, 32
+    key = jax.random.key(1)
+    batch = {
+        "depth": jax.random.normal(key, (A, B, H, W, 1)),
+        "segmentation": jax.random.randint(key, (A, B, H, W), 0, 6),
+        "object_label": jnp.ones((A, B), jnp.int32),
+        "image_embeddings": jax.random.normal(key, (A, B, D)),
+        "sample_valid": jnp.ones((A, B), jnp.float32),
+    }
+    text = jax.random.normal(jax.random.key(2), (C, D))
+    medium = jnp.zeros((C, C), bool)
+    hard = jnp.zeros((C, C), bool)
+
+    states, infos = {}, {}
+    for mode in (False, True):
+        state = create_train_state(jax.random.key(0), TINY, opt, (1, H, W, 1))
+        step = make_train_step(model, opt, HybridLossConfig(), accum_steps=A,
+                               donate=False, native_losses=mode)
+        s, info = step(state, batch, jax.random.key(3), jnp.float32(1e-3),
+                       jnp.float32(0.25), jnp.float32(0.5), text, medium, hard)
+        states[mode], infos[mode] = s, info
+
+    for k in ("total_loss", "text_contrastive_loss", "smoothness_loss",
+              "image_contrastive_loss"):
+        np.testing.assert_allclose(float(infos[True][k]),
+                                   float(infos[False][k]), rtol=1e-4,
+                                   err_msg=k)
+    deltas = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        states[True].params, states[False].params)
+    assert max(jax.tree.leaves(deltas)) < 1e-4
+
+
+def test_bf16_training_tracks_fp32():
+    """Codifies README's accuracy-parity claim as a checked regression:
+    a bf16-compute training run (fp32 params) follows the fp32 run's loss
+    trajectory to ~1% on identical data/seeds."""
+    import dataclasses
+
+    A, B, H, W, C, D = 2, 2, 32, 32, 20, 32
+    key = jax.random.key(1)
+    batch = {
+        "depth": jax.random.normal(key, (A, B, H, W, 1)),
+        "segmentation": jax.random.randint(key, (A, B, H, W), 0, 6),
+        "object_label": jnp.ones((A, B), jnp.int32),
+        "image_embeddings": jax.random.normal(key, (A, B, D)),
+        "sample_valid": jnp.ones((A, B), jnp.float32),
+    }
+    text = jax.random.normal(jax.random.key(2), (C, D))
+    medium = jnp.zeros((C, C), bool)
+    hard = jnp.zeros((C, C), bool)
+
+    traj = {}
+    for mode, dtype in [("fp32", None), ("bf16", jnp.bfloat16)]:
+        cfg = dataclasses.replace(TINY, dtype=dtype)
+        model = DepthUNet(cfg)
+        opt = make_optimizer(weight_decay=1e-4)
+        state = create_train_state(jax.random.key(0), cfg, opt, (1, H, W, 1))
+        step = make_train_step(model, opt, HybridLossConfig(), accum_steps=A,
+                               donate=False)
+        losses = []
+        for i in range(6):
+            state, info = step(state, batch, jax.random.key(7 + i),
+                               jnp.float32(1e-3), jnp.float32(0.25),
+                               jnp.float32(0.5), text, medium, hard)
+            losses.append(float(info["total_loss"]))
+        traj[mode] = np.asarray(losses)
+        # params stay fp32 under the bf16 compute policy
+        assert all(x.dtype == jnp.float32
+                   for x in jax.tree.leaves(state.params))
+
+    np.testing.assert_allclose(traj["bf16"], traj["fp32"], rtol=0.02)
+
+
 def test_predict_native_scoring_identity():
     """Scoring at the decoder's native H/2 resolution and nearest-upsampling
     the top-k indices is EXACTLY the full-resolution prediction: the final

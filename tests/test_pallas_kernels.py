@@ -213,3 +213,69 @@ def test_fused_topk_4d_field_path_matches_flat():
         x4.astype(jnp.bfloat16), jnp.asarray(text_n), jnp.asarray(mask),
         top_k=K, interpret=True)
     assert (np.asarray(idxb) == np.asarray(idx4)).mean() > 0.95
+
+
+def test_fused_head_matches_predict():
+    """The fully-fused head kernel (conv+normalize+score+topk,
+    head_topk.py) returns the same labels as DepthUNet.predict's XLA path
+    at fp32."""
+    from rangeclip_tpu.models.depth_unet import (
+        DepthUNet, DepthUNetConfig, build_candidate_mask, predict_topk_fused,
+    )
+
+    cfg = DepthUNetConfig(
+        encoder_filters=(8, 16, 16, 16, 32), embedding_dim=32,
+        use_batch_norm=True,
+    )
+    model = DepthUNet(cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 1))
+    vars_ = model.init(jax.random.key(0), x, train=False)
+    C = 12
+    text = jax.random.normal(jax.random.key(2), (C, 32))
+    seg = jax.random.randint(jax.random.key(3), (2, 32, 32), 0, 6)
+    mask = build_candidate_mask(jax.random.key(4), seg, C, num_negatives=4)
+
+    want, _, _ = model.apply(
+        vars_, x, text, mask, 5, method=DepthUNet.predict, scoring="xla"
+    )
+    got = predict_topk_fused(model, vars_, x, text, mask, top_k=5,
+                             interpret=True)
+    assert got.shape == want.shape == (2, 32, 32, 5)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_ce_label_slots_match_xla():
+    """Multi-slot CE (the native-resolution training path): the fused
+    kernel with [S, N] labels/weights matches the XLA slot formulation in
+    value and gradients (samples + temperature)."""
+    from rangeclip_tpu.ops.pallas.pixel_text_ce import fused_pixel_text_ce
+    from rangeclip_tpu.losses.infonce import pixel_text_infonce
+
+    rng = np.random.default_rng(9)
+    S, N, D, C = 4, 256, 32, 48
+    s = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    labels = jnp.asarray(rng.integers(1, 20, (S, N)), jnp.int32)
+    valid = jnp.asarray((rng.random((S, N)) * 2.0) * (rng.random((S, N)) > 0.3),
+                        jnp.float32)
+    text = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
+    mask = np.zeros(C, bool)
+    mask[np.unique(np.asarray(labels))] = True
+    mask = jnp.asarray(mask)
+    text_n = l2_normalize(text, axis=-1)
+
+    def fused(s, t):
+        return fused_pixel_text_ce(
+            s, t, labels, valid, text_n, mask, 64, True
+        ) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    def ref(s, t):
+        return pixel_text_infonce(s, labels, valid, text, mask, t)
+
+    t0 = jnp.float32(0.07)
+    np.testing.assert_allclose(float(fused(s, t0)), float(ref(s, t0)),
+                               rtol=1e-5)
+    ga = jax.grad(ref, argnums=(0, 1))(s, t0)
+    gb = jax.grad(fused, argnums=(0, 1))(s, t0)
+    np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(ga[0]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(gb[1]), float(ga[1]), rtol=1e-4)

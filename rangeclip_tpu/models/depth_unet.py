@@ -255,13 +255,24 @@ class DepthUNet(nn.Module):
                 fused_pixel_text_topk,
             )
 
+            # XLA's conv emits the field with layout {3,0,2,1} — memory
+            # order (H, W, B, D) — while the Pallas operand needs a
+            # standard layout, which on [B, H, W, D] costs a full physical
+            # relayout copy (~1.6 ms at the canonical bench config).  The
+            # logical [H, W, B, D] view of that same buffer IS
+            # standard-layout, so scoring the transposed field makes the
+            # transpose a free relabeling instead of a copy; per-pixel
+            # scoring/top-k is order-agnostic and the index map back to
+            # [B, H, W, k] is folded into the output reshape.
+            field_t = jnp.transpose(pixel_embeddings, (1, 2, 0, 3))
             idx, _ = fused_pixel_text_topk(
-                pixel_embeddings,
+                field_t,
                 text.astype(pixel_embeddings.dtype),
                 candidate_mask,
                 top_k=top_k,
+                want_values=False,
             )
-            topk_indices = idx.reshape(B, H, W, top_k)
+            topk_indices = idx.reshape(H, W, B, top_k).transpose(2, 0, 1, 3)
             if return_embeddings:  # True or "native"
                 pixel_embeddings = l2_normalize(pixel_embeddings, axis=-1)
         else:

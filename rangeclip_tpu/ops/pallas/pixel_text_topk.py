@@ -39,7 +39,8 @@ from rangeclip_tpu.ops.pallas.pixel_text_ce import _rows_per_block
 NEG_INF = -1e30
 
 
-def _topk_kernel(emb_ref, text_ref, mask_ref, idx_ref, val_ref, *, top_k: int):
+def _topk_kernel(emb_ref, text_ref, mask_ref, idx_ref, val_ref=None,
+                 *, top_k: int):
     emb = emb_ref[:]
     emb = emb.reshape(-1, emb.shape[-1])  # 4-D row blocks -> [TN, D]
     # L2 normalize pixels (model.py:144); stats in f32, product back in the
@@ -49,33 +50,39 @@ def _topk_kernel(emb_ref, text_ref, mask_ref, idx_ref, val_ref, *, top_k: int):
     rs = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
     emb = (emb.astype(jnp.float32) * rs).astype(emb_ref.dtype)
 
-    # [TN, C] scores on the MXU, f32 accumulation
+    # Scores land class-major [C, TN] on the MXU (f32 accumulation): the
+    # top-k reductions then run over sublanes and yield lane-oriented [TN]
+    # rows that store straight into the [k, N] outputs.  (A pixel-major
+    # [N, k] output is lane-padded k->128 on TPU — ~25x its logical bytes.)
     scores = jax.lax.dot_general(
-        emb,
         text_ref[:],
+        emb,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     # candidate masking (reduced-set predict, model.py:147-161)
-    scores = jnp.where(mask_ref[:][None, :] != 0, scores, NEG_INF)
+    scores = jnp.where(mask_ref[:].reshape(-1, 1) != 0, scores, NEG_INF)
 
-    TN, C = scores.shape
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TN, C), dimension=1)
+    C, TN = scores.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (C, TN), dimension=0)
 
     def body(i, scores):
-        m = jnp.max(scores, axis=1)  # [TN]
+        m = jnp.max(scores, axis=0)  # [TN]
         # argmax via masked min-index (ties -> smallest index, = lax.top_k)
-        is_max = scores >= m[:, None]
-        idx = jnp.min(jnp.where(is_max, col_ids, C), axis=1)
-        idx_ref[:, i] = idx
-        val_ref[:, i] = m
+        is_max = scores >= m[None, :]
+        idx = jnp.min(jnp.where(is_max, row_ids, C), axis=0)
+        idx_ref[i, :] = idx
+        if val_ref is not None:
+            val_ref[i, :] = m
         # knock the winner out for the next pass
-        return jnp.where(col_ids == idx[:, None], NEG_INF, scores)
+        return jnp.where(row_ids == idx[None, :], NEG_INF, scores)
 
     jax.lax.fori_loop(0, top_k, body, scores, unroll=True)
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "tile_n", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("top_k", "tile_n", "interpret", "want_values")
+)
 def fused_pixel_text_topk(
     pixel_embeddings: jax.Array,
     text_normalized: jax.Array,
@@ -83,6 +90,7 @@ def fused_pixel_text_topk(
     top_k: int = 5,
     tile_n: int = 512,
     interpret: bool = False,
+    want_values: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Args:
       pixel_embeddings: [N, D] or [B, H, W, D] (un-normalized; normalization
@@ -91,9 +99,13 @@ def fused_pixel_text_topk(
       candidate_mask: [C] bool/int — True for classes in the candidate set.
       top_k: number of labels per pixel.
       tile_n: pixels per grid step for the flat form (multiple of 8).
+      want_values: emit the score values too.  ``False`` drops the second
+        output entirely — an [N, k] minor-dim-k array is lane-padded k->128
+        on TPU (~25x its logical bytes; 268 MB at the canonical predict
+        config), so skipping an unused values array saves a large HBM write.
 
-    Returns: (indices [N, k] int32, values [N, k] float32), N = B*H*W
-    row-major for the 4-D form.
+    Returns: (indices [N, k] int32, values [N, k] float32 — None when
+    ``want_values=False``), N = B*H*W row-major for the 4-D form.
     """
     if pixel_embeddings.ndim == 4 and (
         _rows_per_block(*pixel_embeddings.shape[1:3]) is None
@@ -124,7 +136,13 @@ def fused_pixel_text_topk(
 
     C = text_normalized.shape[0]
     kernel = functools.partial(_topk_kernel, top_k=top_k)
-    idx, val = pl.pallas_call(
+    out_spec = pl.BlockSpec((top_k, row_tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_specs = [out_spec, out_spec] if want_values else [out_spec]
+    out_shape = [jax.ShapeDtypeStruct((top_k, n_padded), jnp.int32)]
+    if want_values:
+        out_shape.append(jax.ShapeDtypeStruct((top_k, n_padded), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -132,14 +150,8 @@ def fused_pixel_text_topk(
             pl.BlockSpec((C, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((row_tile, top_k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile, top_k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_padded, top_k), jnp.int32),
-            jax.ShapeDtypeStruct((n_padded, top_k), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(
         pixel_embeddings,
@@ -147,4 +159,9 @@ def fused_pixel_text_topk(
         candidate_mask.astype(jnp.int32),
     )
 
-    return idx[:N], val[:N]
+    # Public orientation stays [N, k]; under a downstream reduction (e.g.
+    # the bench checksum) XLA elides the transpose instead of materializing
+    # the lane-padded [N, k] array.
+    if want_values:
+        return outs[0].T[:N], outs[1].T[:N]
+    return outs[0].T[:N], None

@@ -34,9 +34,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rangeclip_tpu.ops.pallas.pixel_text_ce import _rows_per_block
-
 NEG_INF = -1e30
+
+
+def _topk_rows_per_block(H: int, W: int):
+    """Largest row tile: rh divides H, rh*W is a 128-lane multiple, and the
+    [C, rh*W] f32 score tile stays VMEM-friendly (rh*W <= 2048).  Unlike
+    the CE kernel (whose small tiles balance its two-pass fwd/bwd), top-k
+    is one pass and per-grid-step overhead dominates at small tiles:
+    128-row tiles measured 4.5 ms vs 2048-row tiles ~2x faster at the
+    canonical config."""
+    best = None
+    for rh in range(1, H + 1):
+        if H % rh or (rh * W) % 128 or rh * W > 2048:
+            continue
+        best = rh
+    return best
 
 
 def _topk_kernel(emb_ref, text_ref, mask_ref, idx_ref, val_ref=None,
@@ -108,13 +121,13 @@ def fused_pixel_text_topk(
     ``want_values=False``), N = B*H*W row-major for the 4-D form.
     """
     if pixel_embeddings.ndim == 4 and (
-        _rows_per_block(*pixel_embeddings.shape[1:3]) is None
+        _topk_rows_per_block(*pixel_embeddings.shape[1:3]) is None
     ):
         pixel_embeddings = pixel_embeddings.reshape(-1, pixel_embeddings.shape[-1])
 
     if pixel_embeddings.ndim == 4:
         B, H, W, D = pixel_embeddings.shape
-        rh = _rows_per_block(H, W)
+        rh = _topk_rows_per_block(H, W)
         hb = H // rh
         grid = (B * hb,)
         emb_spec = pl.BlockSpec(

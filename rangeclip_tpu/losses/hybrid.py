@@ -19,6 +19,7 @@ from rangeclip_tpu.losses.infonce import (
     build_contrast_mask,
     pixel_text_infonce,
     sample_pixel_multiplicities,
+    sample_pixel_multiplicities_multinomial,
     sample_pixels,
 )
 from rangeclip_tpu.losses.smoothness import total_variation_loss
@@ -32,6 +33,16 @@ class HybridLossConfig:
     w_smooth: float = 2e2
     percent_image_sampling: float = 0.7
     k_distractors: int = 50
+    # Pixel-draw count generation: "histogram" (== "auto") builds counts
+    # from explicit uniform draws — bit-matches gather-sampling for a given
+    # key (the parity/proof formulation; scatter-add ~10 ms/step on TPU).
+    # "multinomial" draws the same Multinomial law scatter-free by binomial
+    # splitting (infonce.multinomial_counts) — a benchmarked NEGATIVE
+    # result for training: 0.36 ms standalone, but jax.random.binomial's
+    # rejection while_loops re-execute pathologically inside the
+    # scan+grad train step (measured 118 -> 521 ms/step), so it stays an
+    # opt-in for inference-side or standalone use.
+    pixel_sampler: str = "auto"
 
 
 def compute_hybrid_loss(
@@ -93,11 +104,24 @@ def compute_hybrid_loss(
     text_loss = jnp.float32(0.0)
     if cfg.w_text > 0:
         key_pix, key_contrast = jax.random.split(rng)
-        if s > 1 or use_tpu_kernels():
+        if cfg.pixel_sampler == "multinomial":
+            # Scatter-free Multinomial counts, emitted pre-slotted for the
+            # native mode (see HybridLossConfig.pixel_sampler — opt-in).
+            valid, labels = sample_pixel_multiplicities_multinomial(
+                key_pix, target_indices, cfg.percent_image_sampling, slots=s
+            )
+            samples = pixel_embeddings
+        elif s > 1 or use_tpu_kernels():
             # Multiplicity-weighted reformulation: identical estimator, no
-            # row gather / scatter-add adjoint (see infonce.py).
+            # row gather / scatter-add adjoint (see infonce.py).  On TPU
+            # the histogram is scattered directly in slot order, skipping
+            # the full-res weight transpose; the s>1 CPU path keeps the
+            # flat histogram + transpose (bit-matches the full-res
+            # formulation for the equivalence tests).
+            tpu_slots = s if use_tpu_kernels() else 1
             valid, labels = sample_pixel_multiplicities(
-                key_pix, target_indices, cfg.percent_image_sampling
+                key_pix, target_indices, cfg.percent_image_sampling,
+                slots=tpu_slots,
             )
             # the fused CE kernel reads the [B, H, W, D] field in place —
             # flattening here would make XLA materialize a relayout
@@ -109,12 +133,18 @@ def compute_hybrid_loss(
             )
         if sample_weight is not None:
             B = pixel_embeddings.shape[0]
-            n_per_item = valid.shape[0] // B
-            valid = valid * jnp.repeat(sample_weight.astype(jnp.float32), n_per_item)
+            sw = sample_weight.astype(jnp.float32)
+            if valid.ndim == 2:  # [S, B*h*w] slot layout
+                S, N = valid.shape
+                valid = (valid.reshape(S, B, N // B) * sw[None, :, None]
+                         ).reshape(S, N)
+            else:
+                n_per_item = valid.shape[0] // B
+                valid = valid * jnp.repeat(sw, n_per_item)
         contrast_mask = build_contrast_mask(
             key_contrast,
-            labels,
-            valid,
+            labels.reshape(-1),
+            valid.reshape(-1),
             num_classes,
             medium_matrix,
             hard_matrix,
@@ -122,7 +152,7 @@ def compute_hybrid_loss(
             pct_medium,
             pct_hard,
         )
-        if s > 1:
+        if s > 1 and labels.ndim == 1:
             # Slot the s^2 full-res children of each native pixel: flat
             # full-res index ((b*H + (s*i+a))*W + (s*j+c)) regroups to slot
             # (a, c) of native flat index ((b*h + i)*w + j).

@@ -30,6 +30,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rangeclip_tpu.utils.math import l2_normalize
 from rangeclip_tpu.utils.platform import use_tpu_kernels
@@ -74,6 +75,7 @@ def sample_pixel_multiplicities(
     key: jax.Array,
     target: jax.Array,
     percent: float = 0.7,
+    slots: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Multiplicity-weighted reformulation of :func:`sample_pixels`.
 
@@ -85,19 +87,134 @@ def sample_pixel_multiplicities(
     from the train step — the CE kernel just reads the pixel field in
     place with per-pixel weights.
 
-    Returns: (weights [B*H*W] float32 = multiplicity * (label > 0),
-              labels [B*H*W] int32).
+    ``slots=s`` emits the histogram directly in the native-resolution slot
+    order (hybrid.py label_upsample): the draw indices are remapped
+    elementwise to slot-major positions BEFORE the scatter, which is
+    bit-identical to transposing the full-res histogram afterwards (same
+    draws, same multiset — tested) but never materializes the full-res
+    weight layout.
+
+    Returns:
+      slots == 1: (weights [B*H*W] f32 = multiplicity * (label > 0),
+                   labels [B*H*W] i32);
+      slots == s: (weights [s*s, B*h*w], labels [s*s, B*h*w]) with
+                  h = H/s, w = W/s, slot (a, c) = full-res pixel
+                  (s*i+a, s*j+c) of native pixel (i, j).
     """
     B, H, W = target.shape
     n_total = H * W
     n_samples = max(min(int(percent * n_total), n_total), 1)
 
     idx = jax.random.randint(key, (B, n_samples), 0, n_total)
+    if slots > 1:
+        s = slots
+        h, w = H // s, W // s
+        y, x = idx // W, idx % W
+        # full-res (y, x) -> slot-major flat index ((a*s + c)*h + i)*w + j
+        idx = ((y % s) * s + (x % s)) * (h * w) + (y // s) * w + (x // s)
     counts = jax.vmap(
         lambda row: jnp.zeros((n_total,), jnp.int32).at[row].add(1)
     )(idx)
+
+    if slots > 1:
+        labels = target.reshape(B, h, s, w, s).transpose(2, 4, 0, 1, 3)
+        labels = labels.reshape(s * s, B * h * w)
+        counts = counts.reshape(B, s * s, h * w).swapaxes(0, 1)
+        weights = counts.reshape(s * s, B * h * w).astype(jnp.float32) * (
+            labels > 0
+        )
+        return weights, labels
+
     labels = target.reshape(B * n_total)
     weights = counts.reshape(B * n_total).astype(jnp.float32) * (labels > 0)
+    return weights, labels
+
+
+def multinomial_counts(key: jax.Array, n: int, n_bins: int,
+                       batch: int = 1) -> jax.Array:
+    """Exact Multinomial(n, uniform over n_bins) counts WITHOUT a scatter.
+
+    The histogram formulation (:func:`sample_pixel_multiplicities`) lowers
+    to a serialized scatter-add on TPU (~10 ms/step at the canonical
+    config).  This generates the same distribution by binary binomial
+    splitting: the root holds n balls; at each of ceil(log2(n_bins))
+    levels every node splits its count Binomial(count, w_left/w) between
+    children, where w counts the real (non-padding) leaves below — so
+    non-power-of-two bin counts are exact too.  All splits at one level
+    vectorize into a single ``jax.random.binomial`` call.
+
+    Returns [batch, n_bins] float32 counts; each row sums to exactly n.
+    """
+    levels = max((n_bins - 1).bit_length(), 0)
+    padded = 1 << levels
+    # real-leaf weight under each node, per level (computed bottom-up)
+    leaf = np.zeros((padded,), np.float64)
+    leaf[:n_bins] = 1.0
+    weights_per_level = []
+    w = leaf
+    for _ in range(levels):
+        w = w.reshape(-1, 2).sum(axis=1)
+        weights_per_level.append(w)
+    # weights_per_level[-1] is the root; iterate top-down
+    counts = jnp.full((batch, 1), float(n), jnp.float32)
+    for lev in range(levels - 1, -1, -1):
+        w_pair = (weights_per_level[lev - 1].reshape(-1, 2)
+                  if lev > 0 else leaf.reshape(-1, 2))
+        w_left = jnp.asarray(w_pair[:, 0], jnp.float32)
+        w_tot = jnp.asarray(w_pair.sum(axis=1), jnp.float32)
+        p = w_left / jnp.maximum(w_tot, 1.0)
+        key, sub = jax.random.split(key)
+        left = jax.random.binomial(sub, counts, p[None, :])
+        counts = jnp.stack([left, counts - left], axis=-1).reshape(batch, -1)
+    return counts[:, :n_bins]
+
+
+def sample_pixel_multiplicities_multinomial(
+    key: jax.Array,
+    target: jax.Array,
+    percent: float = 0.7,
+    slots: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Scatter-free variant of :func:`sample_pixel_multiplicities` — counts
+    drawn directly from the Multinomial law of with-replacement sampling
+    (``multinomial_counts``), so the estimator is identical in DISTRIBUTION
+    (the reference's torch.randint stream differs from either jax stream
+    anyway); the per-key realization differs from the histogram variant.
+
+    ``slots=s`` emits the (label, weight) pairs pre-grouped for
+    native-resolution training: bins are assigned slot-major, so no
+    full-resolution weight transpose ever materializes.
+
+    Args:
+      target: [B, H, W] int labels (H, W divisible by ``slots``).
+
+    Returns:
+      slots == 1: (weights [B*H*W] f32, labels [B*H*W] i32) — same contract
+        as :func:`sample_pixel_multiplicities`;
+      slots == s > 1: (weights [s*s, B*h*w], labels [s*s, B*h*w]) with
+        h = H/s, w = W/s — slot (a, c) holds full-res pixel (s*i+a, s*j+c)
+        of native pixel (i, j), matching the [B, h, w, D] native field.
+    """
+    B, H, W = target.shape
+    n_total = H * W
+    n_samples = max(min(int(percent * n_total), n_total), 1)
+    counts = multinomial_counts(key, n_samples, n_total, batch=B)
+
+    if slots == 1:
+        labels = target.reshape(B * n_total)
+        weights = counts.reshape(B * n_total) * (labels > 0)
+        return weights, labels
+
+    s = slots
+    h, w = H // s, W // s
+    labels = target.reshape(B, h, s, w, s).transpose(2, 4, 0, 1, 3).reshape(
+        s * s, B * h * w
+    )
+    # Bin index within an image IS (slot-major) (a, c, i, j) — multinomial
+    # bins are exchangeable, so assigning them slot-major is free.
+    weights = counts.reshape(B, s * s, h * w).swapaxes(0, 1).reshape(
+        s * s, B * h * w
+    ) * (labels > 0)
     return weights, labels
 
 

@@ -118,19 +118,31 @@ def _bwd_kernel(inv_temp_ref, coeff_ref, samples_ref, labels_ref, valid_ref,
     dsamples_ref[:] = d.reshape(dsamples_ref.shape)
 
 
-def _rows_per_block(H: int, W: int):
+def _rows_per_block(H: int, W: int, prefer: int = 2):
     """Rows per 4-D block: the flat row tile rh*W must be a 128-lane
-    multiple (Mosaic block constraint) and stay VMEM-friendly; rh=2 was the
-    fastest on-chip (RANGECLIP_CE_ROWS overrides). None -> no valid rh,
-    caller falls back to the flat path."""
-    import os
-
-    preferred = int(os.environ.get("RANGECLIP_CE_ROWS", "2"))
-    candidates = [preferred] + [r for r in range(1, min(H, 16) + 1)]
+    multiple (Mosaic block constraint) and stay VMEM-friendly.  The forward
+    prefers larger tiles (one pass, per-grid-step overhead dominates); the
+    backward is VMEM-bound (scores + weighted-onehot + dsamples tiles live
+    together) and OOMs past rh=2 at the canonical config, so the two
+    passes choose independently (RANGECLIP_CE_ROWS_{FWD,BWD} override).
+    None -> no valid rh, caller falls back to the flat path."""
+    candidates = [prefer] + [r for r in range(min(H, 16), 0, -1)]
     for rh in candidates:
         if rh >= 1 and H % rh == 0 and (rh * W) % 128 == 0 and rh * W <= 2048:
             return rh
     return None
+
+
+def _fwd_rows(H: int, W: int):
+    import os
+
+    return _rows_per_block(H, W, int(os.environ.get("RANGECLIP_CE_ROWS_FWD", "8")))
+
+
+def _bwd_rows(H: int, W: int):
+    import os
+
+    return _rows_per_block(H, W, int(os.environ.get("RANGECLIP_CE_ROWS_BWD", "2")))
 
 
 def _as_slots(labels, valid):
@@ -183,11 +195,11 @@ def fused_pixel_text_ce(
                        contrast_mask, tile_n, interpret)
 
 
-def _specs_and_grid(samples, tile_n):
+def _specs_and_grid(samples, tile_n, rows_fn=None):
     """(grid, samples_spec, row_tile, n_padded) for flat or 4-D samples."""
     if samples.ndim == 4:
         B, H, W, D = samples.shape
-        rh = _rows_per_block(H, W)
+        rh = (rows_fn or _fwd_rows)(H, W)
         hb = H // rh
         return (
             (B * hb,),
@@ -210,7 +222,7 @@ def _ce_forward(samples, temperature, labels, valid, text_normalized,
                 contrast_mask, tile_n, interpret):
     labels, valid = _as_slots(labels, valid)
     S = labels.shape[0]
-    if samples.ndim == 4 and _rows_per_block(*samples.shape[1:3]) is None:
+    if samples.ndim == 4 and _fwd_rows(*samples.shape[1:3]) is None:
         samples = samples.reshape(-1, samples.shape[-1])
     if samples.ndim == 4:
         samples_p, labels_p, valid_p = samples, labels, valid
@@ -261,7 +273,7 @@ def _ce_bwd_rule(tile_n, interpret, residuals, g):
     orig_shape = samples.shape
     labels2, valid2 = _as_slots(labels, valid)
     S = labels2.shape[0]
-    if samples.ndim == 4 and _rows_per_block(*samples.shape[1:3]) is None:
+    if samples.ndim == 4 and _bwd_rows(*samples.shape[1:3]) is None:
         samples = samples.reshape(-1, samples.shape[-1])
     if samples.ndim == 4:
         samples_p, labels_p, valid_p = samples, labels2, valid2
@@ -271,7 +283,7 @@ def _ce_bwd_rule(tile_n, interpret, residuals, g):
             samples, labels2, valid2, tile_n
         )
     C, D = text_normalized.shape
-    grid, samples_spec, row_tile, n_padded = _specs_and_grid(samples_p, tile_n)
+    grid, samples_spec, row_tile, n_padded = _specs_and_grid(samples_p, tile_n, _bwd_rows)
     dsamples_shape = (
         samples.shape if samples.ndim == 4 else (n_padded, D)
     )

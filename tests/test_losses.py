@@ -369,3 +369,96 @@ def test_hybrid_loss_native_equals_fullres():
               "image_contrastive_loss"):
         np.testing.assert_allclose(float(info_native[k]), float(info_full[k]),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_multinomial_counts_law():
+    """Binomial-splitting counts: exact total, correct Multinomial moments,
+    zero mass on padding bins (non-power-of-two), slot layout matches the
+    flat layout's per-image totals."""
+    from rangeclip_tpu.losses.infonce import (
+        multinomial_counts,
+        sample_pixel_multiplicities_multinomial,
+    )
+
+    n, n_bins = 1000, 48  # non-power-of-two
+    totals = []
+    means = np.zeros(n_bins)
+    R = 40
+    for r in range(R):
+        c = np.asarray(multinomial_counts(jax.random.key(r), n, n_bins,
+                                          batch=2))
+        assert c.shape == (2, n_bins)
+        np.testing.assert_array_equal(c.sum(axis=1), [n, n])
+        assert (c >= 0).all()
+        means += c.mean(axis=0) / R
+    # E[count] = n / n_bins = 20.83; loose tolerance over 80 draws/bin
+    np.testing.assert_allclose(means, n / n_bins, rtol=0.25)
+    # empirical variance should be near Binomial(n, 1/n_bins) variance
+    var_expected = n * (1 / n_bins) * (1 - 1 / n_bins)
+    c_many = np.concatenate([
+        np.asarray(multinomial_counts(jax.random.key(100 + r), n, n_bins))
+        for r in range(60)
+    ])
+    assert 0.5 * var_expected < c_many.var() < 2.0 * var_expected
+
+    # slotted layout: per-image draw total is exact and background-masked
+    seg = np.zeros((2, 8, 8), np.int32)
+    seg[:, :4] = 3  # half the pixels are background (label 0)
+    w, lab = sample_pixel_multiplicities_multinomial(
+        jax.random.key(1), jnp.asarray(seg), percent=0.5, slots=2)
+    assert w.shape == lab.shape == (4, 2 * 4 * 4)
+    assert float(jnp.sum(w)) <= 0.5 * 64 * 2  # background zeroed
+    np.testing.assert_array_equal(
+        np.asarray(lab), np.where(np.asarray(lab) > 0, 3, 0))
+
+
+def test_hybrid_loss_multinomial_sampler_runs():
+    """pixel_sampler='multinomial' produces a finite loss on the native
+    path (the TPU train configuration, exercised here on CPU)."""
+    import dataclasses as dc
+
+    rng = np.random.default_rng(8)
+    B, h, w, D, C, s = 2, 8, 8, 16, 20, 2
+    x = jnp.asarray(rng.standard_normal((B, h, w, D)).astype(np.float32))
+    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    seg = jnp.asarray(rng.integers(0, 6, (B, h * s, w * s)).astype(np.int32))
+    text = jnp.asarray(rng.standard_normal((C, D)).astype(np.float32))
+    med = jnp.zeros((C, C), bool)
+    cfg = HybridLossConfig(pixel_sampler="multinomial")
+    total, info = compute_hybrid_loss(
+        jax.random.key(3), x, seg, text, med, med,
+        temperature_text=jnp.float32(0.07),
+        temperature_image=jnp.float32(0.1),
+        pct_medium=0.2, pct_hard=0.3, config=cfg, label_upsample=s)
+    assert np.isfinite(float(total)) and float(total) > 0
+    # and the flat (s=1) layout too
+    x_full = _nearest_up(x, s)
+    total2, _ = compute_hybrid_loss(
+        jax.random.key(3), x_full, seg, text, med, med,
+        temperature_text=jnp.float32(0.07),
+        temperature_image=jnp.float32(0.1),
+        pct_medium=0.2, pct_hard=0.3, config=cfg)
+    assert np.isfinite(float(total2)) and float(total2) > 0
+
+
+def test_histogram_slot_remap_identity():
+    """Slot-ordered histogram (index remap before the scatter) is
+    bit-identical to transposing the flat histogram afterwards — same key,
+    same draws."""
+    from rangeclip_tpu.losses.infonce import sample_pixel_multiplicities
+
+    rng = np.random.default_rng(11)
+    B, H, W, s = 3, 8, 12, 2
+    h, w = H // s, W // s
+    seg = jnp.asarray(rng.integers(0, 5, (B, H, W)).astype(np.int32))
+    key = jax.random.key(42)
+
+    w_flat, lab_flat = sample_pixel_multiplicities(key, seg, 0.7)
+    w_slot, lab_slot = sample_pixel_multiplicities(key, seg, 0.7, slots=s)
+
+    w_ref = np.asarray(w_flat).reshape(B, h, s, w, s).transpose(
+        2, 4, 0, 1, 3).reshape(s * s, B * h * w)
+    lab_ref = np.asarray(lab_flat).reshape(B, h, s, w, s).transpose(
+        2, 4, 0, 1, 3).reshape(s * s, B * h * w)
+    np.testing.assert_array_equal(np.asarray(w_slot), w_ref)
+    np.testing.assert_array_equal(np.asarray(lab_slot), lab_ref)

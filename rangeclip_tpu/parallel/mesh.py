@@ -12,6 +12,13 @@ let XLA insert the collectives.
     logits — TP for large label tables (NYUv2 transfer with hundreds to
     thousands of classes).  The softmax logsumexp and the scatter updates
     reduce over 'model' via ICI all-reduce, inserted by GSPMD.
+  * 'spatial': the image-height dimension of the depth maps and every
+    feature map under them — SP for resolutions whose activation footprint
+    exceeds one chip (SURVEY section 5's "spatial sharding of feature maps
+    if resolution grows").  GSPMD inserts the convolution halo exchanges
+    (collective-permute of 1-row boundaries per conv) automatically; BN
+    statistics already reduce over (B, H, W) so they simply include a
+    'spatial' all-reduce.
 
 Parameters and optimizer state are replicated (the model is a ~15M-param
 CNN — replication is the right layout; its gradients ride the ICI once per
@@ -30,32 +37,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
+    n_spatial: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), (
-        f"mesh {n_data}x{n_model} needs more than {len(devices)} devices"
+        n_data = len(devices) // (n_model * n_spatial)
+    total = n_data * n_model * n_spatial
+    assert total <= len(devices), (
+        f"mesh {n_data}x{n_spatial}x{n_model} needs more than "
+        f"{len(devices)} devices"
     )
-    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(grid, ("data", "model"))
+    grid = np.asarray(devices[:total]).reshape(n_data, n_spatial, n_model)
+    return Mesh(grid, ("data", "spatial", "model"))
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any], batch_axis: int = 0
                 ) -> Dict[str, Any]:
-    """Place batch arrays with the batch dim sharded over 'data'.
+    """Place batch arrays with the batch dim sharded over 'data' and, when
+    the mesh has a non-trivial 'spatial' axis, the image height sharded
+    over 'spatial' (rank-4+ arrays only: depth [.., B, H, W, 1] and
+    segmentation [.., B, H, W]).
 
     Works for both [B, ...] and accumulation-major [A, B, ...] layouts
     (pass batch_axis=1 for the latter).
     """
+    n_spatial = dict(mesh.shape).get("spatial", 1)
     out = {}
     for k, v in batch.items():
         ndim = np.ndim(v)
         spec = [None] * ndim
         if ndim > batch_axis:
             spec[batch_axis] = "data"
+        if n_spatial > 1 and ndim >= batch_axis + 3:
+            spec[batch_axis + 1] = "spatial"  # the H dim of [B, H, W, ...]
         out[k] = jax.device_put(v, NamedSharding(mesh, P(*spec)))
     return out
 

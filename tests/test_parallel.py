@@ -105,6 +105,11 @@ def test_train_step_layout_invariance():
     loss_4x2 = run(make_mesh(n_data=4, n_model=2))
     np.testing.assert_allclose(loss_1x1[0], loss_4x2[0], rtol=2e-4)
     np.testing.assert_allclose(loss_1x1[1], loss_4x2[1], rtol=1e-5)
+    # spatial (image-height) sharding — GSPMD inserts the conv halo
+    # exchanges; the result must match the unsharded layouts
+    loss_2x2x2 = run(make_mesh(n_data=2, n_model=2, n_spatial=2))
+    np.testing.assert_allclose(loss_1x1[0], loss_2x2x2[0], rtol=2e-4)
+    np.testing.assert_allclose(loss_1x1[1], loss_2x2x2[1], rtol=1e-5)
 
 
 def test_data_parallel_gradients_match_single_device():

@@ -39,7 +39,10 @@ import time
 
 REF_BASELINE_MAPS_PER_SEC = 300.0
 
-BATCH = int(os.environ.get("BENCH_BATCH", 32))
+# Throughput sweet spot measured on v5e: 32 -> 2683, 64 -> 3343,
+# 128 -> 3839, 256 -> 3801 maps/s (batching amortizes fixed per-dispatch
+# and per-kernel overheads until HBM working-set pressure flattens it).
+BATCH = int(os.environ.get("BENCH_BATCH", 128))
 RES = 256
 NUM_CLASSES = 512
 TOP_K = 5

@@ -82,29 +82,34 @@ def _bwd_kernel(inv_temp_ref, coeff_ref, samples_ref, labels_ref, valid_ref,
                                    inv_temp_ref[0])
     m = jnp.max(logits, axis=1, keepdims=True)
     e = jnp.exp(logits - m)
-    p = e / jnp.sum(e, axis=1, keepdims=True)  # [TN, C]
+    inv_z = 1.0 / jnp.sum(e, axis=1)  # [TN]
 
     TN, C = logits.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (TN, C), dimension=1)
 
     # Multi-slot generalization (see _fwd_kernel): with per-row weight sum
     # W = sum_s w_s,  d logits = p * W - sum_s w_s * onehot_s,  and
-    # d logtau = sum_s w_s * picked_s - W * E_p[logits].
+    # d logtau = sum_s w_s * picked_s - W * E_p[logits].  The softmax p is
+    # never materialized (p*W == e * (W/Z)) and the slot one-hots correct
+    # ``delta`` in place — two fewer [TN, C] f32 tiles live than the naive
+    # form, which is what bounds the backward's row tile in VMEM.
     S = labels_ref.shape[0]
     wsum = jnp.zeros((TN,), jnp.float32)
-    wonehot = jnp.zeros((TN, C), jnp.float32)
     wpick = jnp.zeros((TN,), jnp.float32)
     for s in range(S):
-        onehot = (cols == labels_ref[s, :][:, None]).astype(jnp.float32)
+        onehot = cols == labels_ref[s, :][:, None]
         w = coeff_ref[0] * valid_ref[s, :]  # [TN]
         wsum = wsum + w
-        wonehot = wonehot + w[:, None] * onehot
-        wpick = wpick + w * jnp.sum(onehot * logits, axis=1)
+        wpick = wpick + w * jnp.sum(jnp.where(onehot, logits, 0.0), axis=1)
 
-    delta = p * wsum[:, None] - wonehot  # [TN, C]
+    delta = e * (wsum * inv_z)[:, None]
+    for s in range(S):
+        onehot = cols == labels_ref[s, :][:, None]
+        w = coeff_ref[0] * valid_ref[s, :]
+        delta = delta - jnp.where(onehot, w[:, None], 0.0)
 
-    exp_logit = jnp.sum(jnp.where(mask_ref[:][None, :] != 0, p * logits, 0.0),
-                        axis=1)
+    exp_logit = jnp.sum(jnp.where(mask_ref[:][None, :] != 0, e * logits, 0.0),
+                        axis=1) * inv_z
     dtau_ref[0, :] = wpick - wsum * exp_logit
 
     # d samples through logits and the L2 normalize

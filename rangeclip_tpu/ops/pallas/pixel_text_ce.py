@@ -123,7 +123,7 @@ def _bwd_kernel(inv_temp_ref, coeff_ref, samples_ref, labels_ref, valid_ref,
     dsamples_ref[:] = d.reshape(dsamples_ref.shape)
 
 
-def _rows_per_block(H: int, W: int, prefer: int = 2):
+def _rows_per_block(H: int, W: int, prefer: int = 2, C: int = 512):
     """Rows per 4-D block: the flat row tile rh*W must be a 128-lane
     multiple (Mosaic block constraint) and stay VMEM-friendly.  The forward
     prefers larger tiles (one pass, per-grid-step overhead dominates); the
@@ -131,23 +131,29 @@ def _rows_per_block(H: int, W: int, prefer: int = 2):
     together) and OOMs past rh=2 at the canonical config, so the two
     passes choose independently (RANGECLIP_CE_ROWS_{FWD,BWD} override).
     None -> no valid rh, caller falls back to the flat path."""
+    # Row cap scales inversely with the class count (large label tables
+    # shrink the tile instead of blowing VMEM; 2048 rows at C=512 is a
+    # 4 MB score tile).
+    max_rows = max((2048 * 512) // max(C, 512) // 128 * 128, 128)
     candidates = [prefer] + [r for r in range(min(H, 16), 0, -1)]
     for rh in candidates:
-        if rh >= 1 and H % rh == 0 and (rh * W) % 128 == 0 and rh * W <= 2048:
+        if rh >= 1 and H % rh == 0 and (rh * W) % 128 == 0 and rh * W <= max_rows:
             return rh
     return None
 
 
-def _fwd_rows(H: int, W: int):
+def _fwd_rows(H: int, W: int, C: int = 512):
     import os
 
-    return _rows_per_block(H, W, int(os.environ.get("RANGECLIP_CE_ROWS_FWD", "8")))
+    return _rows_per_block(
+        H, W, int(os.environ.get("RANGECLIP_CE_ROWS_FWD", "8")), C=C)
 
 
-def _bwd_rows(H: int, W: int):
+def _bwd_rows(H: int, W: int, C: int = 512):
     import os
 
-    return _rows_per_block(H, W, int(os.environ.get("RANGECLIP_CE_ROWS_BWD", "2")))
+    return _rows_per_block(
+        H, W, int(os.environ.get("RANGECLIP_CE_ROWS_BWD", "2")), C=C)
 
 
 def _as_slots(labels, valid):
@@ -200,11 +206,11 @@ def fused_pixel_text_ce(
                        contrast_mask, tile_n, interpret)
 
 
-def _specs_and_grid(samples, tile_n, rows_fn=None):
+def _specs_and_grid(samples, tile_n, rows_fn=None, C=512):
     """(grid, samples_spec, row_tile, n_padded) for flat or 4-D samples."""
     if samples.ndim == 4:
         B, H, W, D = samples.shape
-        rh = (rows_fn or _fwd_rows)(H, W)
+        rh = (rows_fn or _fwd_rows)(H, W, C=C)
         hb = H // rh
         return (
             (B * hb,),
@@ -227,7 +233,9 @@ def _ce_forward(samples, temperature, labels, valid, text_normalized,
                 contrast_mask, tile_n, interpret):
     labels, valid = _as_slots(labels, valid)
     S = labels.shape[0]
-    if samples.ndim == 4 and _fwd_rows(*samples.shape[1:3]) is None:
+    C_classes = text_normalized.shape[0]
+    if samples.ndim == 4 and _fwd_rows(*samples.shape[1:3],
+                                       C=C_classes) is None:
         samples = samples.reshape(-1, samples.shape[-1])
     if samples.ndim == 4:
         samples_p, labels_p, valid_p = samples, labels, valid
@@ -237,7 +245,8 @@ def _ce_forward(samples, temperature, labels, valid, text_normalized,
             samples, labels, valid, tile_n
         )
     C, D = text_normalized.shape
-    grid, samples_spec, row_tile, n_padded = _specs_and_grid(samples_p, tile_n)
+    grid, samples_spec, row_tile, n_padded = _specs_and_grid(
+        samples_p, tile_n, C=C)
 
     ce = pl.pallas_call(
         _fwd_kernel,
@@ -278,7 +287,9 @@ def _ce_bwd_rule(tile_n, interpret, residuals, g):
     orig_shape = samples.shape
     labels2, valid2 = _as_slots(labels, valid)
     S = labels2.shape[0]
-    if samples.ndim == 4 and _bwd_rows(*samples.shape[1:3]) is None:
+    C_classes = text_normalized.shape[0]
+    if samples.ndim == 4 and _bwd_rows(*samples.shape[1:3],
+                                       C=C_classes) is None:
         samples = samples.reshape(-1, samples.shape[-1])
     if samples.ndim == 4:
         samples_p, labels_p, valid_p = samples, labels2, valid2
@@ -288,7 +299,8 @@ def _ce_bwd_rule(tile_n, interpret, residuals, g):
             samples, labels2, valid2, tile_n
         )
     C, D = text_normalized.shape
-    grid, samples_spec, row_tile, n_padded = _specs_and_grid(samples_p, tile_n, _bwd_rows)
+    grid, samples_spec, row_tile, n_padded = _specs_and_grid(
+        samples_p, tile_n, _bwd_rows, C=C)
     dsamples_shape = (
         samples.shape if samples.ndim == 4 else (n_padded, D)
     )

@@ -37,16 +37,21 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _topk_rows_per_block(H: int, W: int):
+def _topk_rows_per_block(H: int, W: int, C: int = 512):
     """Largest row tile: rh divides H, rh*W is a 128-lane multiple, and the
-    [C, rh*W] f32 score tile stays VMEM-friendly (rh*W <= 2048).  Unlike
-    the CE kernel (whose small tiles balance its two-pass fwd/bwd), top-k
-    is one pass and per-grid-step overhead dominates at small tiles:
-    128-row tiles measured 4.5 ms vs 2048-row tiles ~2x faster at the
-    canonical config."""
+    [C, rh*W] f32 score tile stays VMEM-friendly.  Unlike the CE kernel
+    (whose small tiles balance its two-pass fwd/bwd), top-k is one pass and
+    per-grid-step overhead dominates at small tiles: 128-row tiles measured
+    4.5 ms vs 2048-row tiles ~2x faster at the canonical config.
+
+    The cap scales inversely with the class count so large label tables
+    (NYUv2 transfer, thousands of classes) shrink the tile instead of
+    blowing the ~16 MB VMEM budget: 2048 rows at C=512 is a 4 MB score
+    tile; the same budget gives 256 rows at C=4096."""
+    max_rows = max((2048 * 512) // max(C, 512) // 128 * 128, 128)
     best = None
     for rh in range(1, H + 1):
-        if H % rh or (rh * W) % 128 or rh * W > 2048:
+        if H % rh or (rh * W) % 128 or rh * W > max_rows:
             continue
         best = rh
     return best
@@ -120,14 +125,15 @@ def fused_pixel_text_topk(
     Returns: (indices [N, k] int32, values [N, k] float32 — None when
     ``want_values=False``), N = B*H*W row-major for the 4-D form.
     """
+    C = text_normalized.shape[0]
     if pixel_embeddings.ndim == 4 and (
-        _topk_rows_per_block(*pixel_embeddings.shape[1:3]) is None
+        _topk_rows_per_block(*pixel_embeddings.shape[1:3], C=C) is None
     ):
         pixel_embeddings = pixel_embeddings.reshape(-1, pixel_embeddings.shape[-1])
 
     if pixel_embeddings.ndim == 4:
         B, H, W, D = pixel_embeddings.shape
-        rh = _topk_rows_per_block(H, W)
+        rh = _topk_rows_per_block(H, W, C=C)
         hb = H // rh
         grid = (B * hb,)
         emb_spec = pl.BlockSpec(
@@ -138,6 +144,9 @@ def fused_pixel_text_topk(
         n_padded = N = B * H * W
     else:
         N, D = pixel_embeddings.shape
+        # C-aware flat tile: keep the [C, tile] f32 score block ~4 MB
+        tile_n = min(tile_n, max((2048 * 512) // max(C, 512) // 128 * 128,
+                                 128))
         pad = (-N) % tile_n
         if pad:
             pixel_embeddings = jnp.pad(pixel_embeddings, ((0, pad), (0, 0)))
@@ -147,7 +156,6 @@ def fused_pixel_text_topk(
                                 memory_space=pltpu.VMEM)
         row_tile = tile_n
 
-    C = text_normalized.shape[0]
     kernel = functools.partial(_topk_kernel, top_k=top_k)
     out_spec = pl.BlockSpec((top_k, row_tile), lambda i: (0, i),
                             memory_space=pltpu.VMEM)

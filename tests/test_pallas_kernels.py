@@ -279,3 +279,36 @@ def test_fused_ce_label_slots_match_xla():
     np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(ga[0]),
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(float(gb[1]), float(ga[1]), rtol=1e-4)
+
+
+def test_large_class_count_tiles_shrink_and_match():
+    """NYUv2-transfer scale: the row-tile caps scale inversely with C so
+    VMEM stays bounded, and results still match XLA at C=4096."""
+    from rangeclip_tpu.ops.pallas.pixel_text_ce import _fwd_rows, _bwd_rows
+    from rangeclip_tpu.ops.pallas.pixel_text_topk import (
+        _topk_rows_per_block,
+        fused_pixel_text_topk,
+    )
+
+    # tile caps: 4x the classes -> 1/4 the rows (to the 128 floor)
+    assert _topk_rows_per_block(128, 128, C=512) * 128 == 2048
+    assert _topk_rows_per_block(128, 128, C=4096) * 128 == 256
+    assert _fwd_rows(128, 128, C=4096) * 128 <= 256
+    assert _bwd_rows(128, 128, C=4096) * 128 <= 256
+
+    C, D, N = 4096, 32, 128
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
+    text_n = l2_normalize(text, axis=-1)
+    mask = np.zeros(C, bool)
+    mask[rng.choice(C, 600, replace=False)] = True
+    mask = jnp.asarray(mask)
+
+    idx, val = fused_pixel_text_topk(x, text_n, mask, top_k=5, interpret=True)
+    x_n = l2_normalize(x, axis=-1)
+    logits = jnp.where(mask[None, :], x_n @ text_n.T, -1e30)
+    ref_val, ref_idx = jax.lax.top_k(logits, 5)
+    assert (np.asarray(idx) == np.asarray(ref_idx)).mean() > 0.95
+    np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val),
+                               rtol=1e-5, atol=1e-6)

@@ -204,7 +204,6 @@ def cmd_loader(args) -> None:
     import numpy as np
 
     from rangeclip_tpu.data.loader import setup_dataloaders
-    from rangeclip_tpu.data import transforms as transforms_mod
 
     def run(tag):
         train_loader, _, _, _, _ = setup_dataloaders(

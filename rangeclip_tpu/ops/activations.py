@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 Activation = Optional[Callable[[jax.Array], jax.Array]]
 

@@ -68,7 +68,7 @@ def build_engine(args):
     def predict(variables, depth):
         topk, _, _ = model.apply(
             variables, depth, text_table, candidate_mask, args.top_k,
-            method=DepthUNet.predict,
+            method=DepthUNet.predict, return_embeddings=False,
         )
         return topk
 

@@ -80,6 +80,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from rangeclip_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from rangeclip_tpu.models.depth_unet import (
         DepthUNet,
         DepthUNetConfig,

@@ -236,6 +236,8 @@ def cmd_loader(args) -> None:
 
 
 def main(argv=None) -> None:
+    from rangeclip_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -25,6 +25,8 @@ import numpy as np
 
 
 def main(argv=None) -> None:
+    from rangeclip_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--checkpoint_dir", required=True)
     parser.add_argument("--depth_glob", required=True)

@@ -205,6 +205,8 @@ def make_handler(engine: Engine, labels, size):
 
 
 def main(argv=None) -> None:
+    from rangeclip_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--checkpoint_dir", required=True)
     parser.add_argument("--labels_path", required=True)

@@ -97,6 +97,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from rangeclip_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     assert len(args.learning_rates) == len(args.learning_schedule), (
         "Mismatch in learning rates and schedule lengths"

@@ -12,6 +12,8 @@ import argparse
 
 
 def main(argv=None) -> None:
+    from rangeclip_tpu.utils.platform import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--labeled_metadata_path", required=True)
     parser.add_argument("--labels_path", required=True)

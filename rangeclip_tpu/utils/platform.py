@@ -21,3 +21,28 @@ def use_tpu_kernels() -> bool:
     if override:
         return override not in ("cpu", "gpu")
     return jax.default_backend() not in ("cpu", "gpu")
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Turn on jax's persistent compilation cache for every entry point.
+
+    First compiles over a remote-tunnel TPU backend take minutes; cached
+    executables load in seconds in a fresh process (measured: ~4 s vs
+    minutes for the same program).  Cache dir resolution:
+    ``cache_dir`` arg > ``RANGECLIP_XLA_CACHE`` env >
+    ``~/.cache/rangeclip_tpu/xla``.  Set ``RANGECLIP_XLA_CACHE=off`` to
+    disable.  Returns the directory used (None when disabled/unavailable).
+    """
+    env = os.environ.get("RANGECLIP_XLA_CACHE")
+    if env == "off":
+        return None
+    path = cache_dir or env or os.path.join(
+        os.path.expanduser("~"), ".cache", "rangeclip_tpu", "xla"
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        return None
+    return path

@@ -33,7 +33,8 @@ def cmd_throughput(args) -> None:
     res, C, D = args.resolution, args.num_classes, 512
     results = []
     for bf16 in ([False, True] if args.both_precisions else [args.bf16]):
-        cfg = DepthUNetConfig(use_batch_norm=True,
+        cfg = DepthUNetConfig(unet_type=args.unet_architecture,
+                              use_batch_norm=True,
                               dtype=jnp.bfloat16 if bf16 else None)
         model = DepthUNet(cfg)
         for batch in args.batch_sizes:
@@ -69,6 +70,8 @@ def cmd_throughput(args) -> None:
                 "ms_per_batch": round(1e3 * dt / args.iters, 3),
             })
 
+        if args.train_batch <= 0:
+            continue
         # train-step time (accum window of 8 microbatches)
         opt = make_optimizer(1e-4)
         state = create_train_state(jax.random.key(0), cfg, opt,
@@ -243,6 +246,11 @@ def main(argv=None) -> None:
 
     t = sub.add_parser("throughput")
     t.add_argument("--resolution", type=int, default=256)
+    t.add_argument("--unet_architecture", choices=["resnet", "mit"],
+                   default="resnet",
+                   help="Backbone: ResNet-18 UNet (flagship) or the "
+                        "SegFormer-style MiT encoder (the 512^2 "
+                        "streaming-inference stretch config).")
     t.add_argument("--batch_sizes", nargs="+", type=int, default=[1, 8, 32])
     t.add_argument("--train_batch", type=int, default=8)
     t.add_argument("--num_classes", type=int, default=512)

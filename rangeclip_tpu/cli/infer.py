@@ -120,25 +120,53 @@ def main(argv=None) -> None:
 
     threading.Thread(target=producer, daemon=True).start()
 
-    n_done, t0 = 0, time.perf_counter()
+    # Writer thread: PNG/npy encoding overlaps the next batch's device
+    # dispatch instead of serializing with it.
+    out_q: "queue.Queue" = queue.Queue(maxsize=4)
+    n_done = 0
+
+    def writer():
+        nonlocal n_done
+        while True:
+            item = out_q.get()
+            if item is sentinel:
+                return
+            topk, names = item
+            for i, name in enumerate(names):
+                top1 = topk[i, :, :, 0]
+                np.save(os.path.join(args.output_dir, f"{name}_topk.npy"),
+                        topk[i])
+                Image.fromarray(top1.astype(np.int32), mode="I").save(
+                    os.path.join(args.output_dir, f"{name}_labels.png")
+                )
+                if args.save_preview:
+                    rgb = (colorize_segmentation(top1, colors) * 255).astype(
+                        np.uint8)
+                    Image.fromarray(rgb).save(
+                        os.path.join(args.output_dir, f"{name}_preview.png")
+                    )
+            n_done += len(names)
+
+    writer_thread = threading.Thread(target=writer)
+    writer_thread.start()
+
+    # One-deep device pipeline: dispatch batch N+1 (async under jax) before
+    # fetching batch N's result, so device compute overlaps the D2H copy.
+    t0 = time.perf_counter()
+    pending = None
     while True:
         item = q.get()
         if item is sentinel:
             break
         depth_batch, names = item
-        topk = np.asarray(predict(variables, jnp.asarray(depth_batch)))
-        for i, name in enumerate(names):
-            top1 = topk[i, :, :, 0]
-            np.save(os.path.join(args.output_dir, f"{name}_topk.npy"), topk[i])
-            Image.fromarray(top1.astype(np.int32), mode="I").save(
-                os.path.join(args.output_dir, f"{name}_labels.png")
-            )
-            if args.save_preview:
-                rgb = (colorize_segmentation(top1, colors) * 255).astype(np.uint8)
-                Image.fromarray(rgb).save(
-                    os.path.join(args.output_dir, f"{name}_preview.png")
-                )
-        n_done += len(names)
+        dev_topk = predict(variables, jnp.asarray(depth_batch))
+        if pending is not None:
+            out_q.put((np.asarray(pending[0]), pending[1]))
+        pending = (dev_topk, names)
+    if pending is not None:
+        out_q.put((np.asarray(pending[0]), pending[1]))
+    out_q.put(sentinel)
+    writer_thread.join()
     dt = time.perf_counter() - t0
     print(f"Segmented {n_done} depth maps in {dt:.2f}s "
           f"({n_done / max(dt, 1e-9):.1f} maps/s)")

@@ -22,6 +22,20 @@ mode); normalization statistics are always f32.
 The text table must be pre-L2-normalized (one [C, D] pass, amortized across
 every batch, exactly as the reference normalizes the gathered table once
 per predict call).
+
+Measured variants that did NOT make the cut (TPU v5e, canonical bench
+config: batch 128, 256^2, C=512, bf16 — base 12.2 ms standalone):
+  * 4096-row tiles: 8 MB f32 score tile blows the ~16 MB VMEM budget
+    (Mosaic scoped-vmem OOM at 18.9 MB with double buffering);
+  * splitting each tile into 2-4 chunks so the next chunk's MXU matmul
+    could overlap the previous chunk's VPU top-k passes: no change
+    (12.4 ms) — Mosaic serializes the kernel body's dataflow;
+  * packing a 10-bit inverted class index into the low mantissa bits of
+    the sortable-int scores (one max-reduction per top-k pass instead of
+    max + masked min-index): 9.6 ms (-21%) but INEXACT — candidates whose
+    f32 scores differ only below 2^-13 relative get reordered by index,
+    breaking the kernel's exact-equality contract with lax.top_k.  The
+    selection loop below is the fastest *exact* formulation found.
 """
 
 from __future__ import annotations

@@ -215,7 +215,12 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--height", type=int, default=256)
     parser.add_argument("--width", type=int, default=256)
-    parser.add_argument("--top_k", type=int, default=5)
+    # The /segment responses only ever expose the top-1 label map, and the
+    # top-1 of a top-k scoring is the same argmax — so k=1 is the default:
+    # the scoring kernel runs 1 selection pass instead of 5 and the
+    # device->host fetch shrinks 5x.  Raise it if the API grows a
+    # full-top-k response.
+    parser.add_argument("--top_k", type=int, default=1)
     parser.add_argument("--embedding_dim", type=int, default=512)
     parser.add_argument("--unet_architecture", default="resnet")
     parser.add_argument("--bf16", action="store_true")
@@ -227,6 +232,9 @@ def main(argv=None) -> None:
     predict, variables, labels = build_engine(args)
     engine = Engine(predict, variables, args.batch_size,
                     (args.height, args.width))
+    # Default listen backlog (5) drops connections under bursty clients;
+    # the bounded engine queue is the real admission control.
+    ThreadingHTTPServer.request_queue_size = 128
     server = ThreadingHTTPServer(
         (args.host, args.port),
         make_handler(engine, labels, (args.height, args.width)),

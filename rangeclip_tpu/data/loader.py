@@ -14,17 +14,55 @@ DistributedSampler equivalent: pad indices to a multiple of the shard count,
 then round-robin).  Batches are fixed-shape; a final ragged batch is padded
 by repeating its first sample with ``sample_valid = 0`` so jit never sees a
 new shape (the reference instead lets torch emit a ragged last batch).
+
+Workers are OS processes by default (the torch ``num_workers`` process
+semantics, dataloader.py:116-135): PNG decode + the numpy transforms hold
+the GIL, so a thread pool cannot scale past ~1 core no matter the worker
+count, while the compiled train step consumes ~280 maps/s and one core
+decodes ~39 maps/s (measured, 480x640 -> 256^2) — feeding the chip needs
+real multi-core decode.  (The dev machine here has a single core, so both
+modes measure the same on it; the pool is persistent across epochs either
+way.)  Each sample's RNG is derived from its (seed, epoch, shard, position)
+alone, so thread, process, and serial execution produce bit-identical
+batches in any completion order.  Fork-unsafe or unpicklable datasets fall
+back to threads automatically.
 """
 
 from __future__ import annotations
 
+import multiprocessing
+import os
+import pickle
 import queue
 import random
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _fetch_with(dataset, args):
+    """One sample with a deterministic per-position RNG, so worker count and
+    completion order never change the data (the reference's per-worker torch
+    seeds are order-dependent)."""
+    i, seed, epoch, shard_id, position = args
+    rng = np.random.default_rng((seed, epoch, shard_id, position))
+    try:
+        return dataset.__getitem__(i, rng=rng)
+    except TypeError:  # datasets without an rng kwarg
+        return dataset[i]
+
+
+def _fetch_in_worker(args):
+    return _fetch_with(_WORKER_DATASET, args)
 
 
 def deterministic_split(
@@ -77,6 +115,7 @@ class ShardedBatchLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         num_workers: int = 4,
+        use_processes: Optional[bool] = None,
     ):
         self.dataset = dataset
         self.indices = list(indices)
@@ -88,38 +127,89 @@ class ShardedBatchLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.num_workers = max(1, num_workers)
+        self.use_processes = use_processes
         self.epoch = 0
+        self._pool = None
+        self._fetch_fn = None
+        self._pool_workers = 0
 
     def set_epoch(self, epoch: int) -> None:
         """Per-epoch reshuffle hook (train_util.py:273)."""
         self.epoch = epoch
+
+    def close(self) -> None:
+        """Release the worker pool (also runs at GC)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+            self._fetch_fn = None
+            self._pool_workers = 0
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         n = len(_shard_indices(self.indices, self.epoch, self.shard_id,
                                self.num_shards, False))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _fetch(self, i: int, position: int):
-        """One sample with a deterministic per-position RNG, so multi-worker
-        decode order never changes the data (the reference's per-worker
-        torch seeds are order-dependent)."""
-        rng = np.random.default_rng(
-            (self.seed, self.epoch, self.shard_id, position)
-        )
-        try:
-            return self.dataset.__getitem__(i, rng=rng)
-        except TypeError:  # datasets without an rng kwarg
-            return self.dataset[i]
+    def _want_processes(self) -> bool:
+        if self.num_workers <= 1:
+            return False
+        if self.use_processes is not None:
+            return self.use_processes
+        if not hasattr(os, "fork"):
+            return False
+        try:  # workers receive the dataset once, by pickle, at fork time
+            pickle.dumps(self.dataset)
+            return True
+        except Exception:
+            return False
+
+    def _make_pool(self):
+        """Lazily create (and then reuse across epochs) the worker pool —
+        process startup would otherwise tax every ``__iter__``.  Workers
+        receive the dataset once at creation; datasets are immutable."""
+        if self.num_workers <= 1:
+            return None, None
+        if self._pool is not None and self._pool_workers == self.num_workers:
+            return self._pool, self._fetch_fn
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+        if self._want_processes():
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=_init_worker,
+                initargs=(self.dataset,),
+            )
+            self._fetch_fn = _fetch_in_worker
+        else:
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+            def fetch(args, dataset=self.dataset):
+                return _fetch_with(dataset, args)
+
+            self._fetch_fn = fetch
+        self._pool_workers = self.num_workers
+        return self._pool, self._fetch_fn
 
     def _make_batch(self, batch_indices: List[int], batch_start: int,
-                    pool: Optional[ThreadPoolExecutor]) -> Dict[str, np.ndarray]:
+                    pool, fetch_fn) -> Dict[str, np.ndarray]:
         n_real = len(batch_indices)
         padded = batch_indices + [batch_indices[0]] * (self.batch_size - n_real)
-        positions = range(batch_start, batch_start + self.batch_size)
+        args = [
+            (i, self.seed, self.epoch, self.shard_id, p)
+            for i, p in zip(padded,
+                            range(batch_start, batch_start + self.batch_size))
+        ]
         if pool is not None:
-            samples = list(pool.map(self._fetch, padded, positions))
+            samples = list(pool.map(fetch_fn, args))
         else:
-            samples = [self._fetch(i, p) for i, p in zip(padded, positions)]
+            samples = [_fetch_with(self.dataset, a) for a in args]
         batch = {
             k: np.stack([s[k] for s in samples], axis=0) for k in samples[0]
         }
@@ -139,17 +229,15 @@ class ShardedBatchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
-        pool = (ThreadPoolExecutor(max_workers=self.num_workers)
-                if self.num_workers > 1 else None)
+        pool, fetch_fn = self._make_pool()
 
         def producer():
             try:
                 for bi, b in enumerate(batches):
-                    q.put(self._make_batch(b, bi * self.batch_size, pool))
+                    q.put(self._make_batch(b, bi * self.batch_size, pool,
+                                           fetch_fn))
             finally:
                 q.put(sentinel)
-                if pool is not None:
-                    pool.shutdown(wait=False)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

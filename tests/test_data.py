@@ -202,14 +202,20 @@ def test_loader_deterministic_across_worker_counts(tmp_path):
                                labels_path=data["labels"],
                                resize_shape=(16, 16))
 
-    def batches(num_workers):
+    def batches(num_workers, use_processes=None):
         loader = ShardedBatchLoader(ds, list(range(10)), batch_size=4,
-                                    shuffle=True, num_workers=num_workers)
+                                    shuffle=True, num_workers=num_workers,
+                                    use_processes=use_processes)
         loader.set_epoch(3)
-        return list(loader)
+        out = list(loader)
+        loader.close()
+        return out
 
-    a, b = batches(1), batches(4)
-    assert len(a) == len(b)
-    for ba, bb in zip(a, b):
-        for k in ba:
-            np.testing.assert_array_equal(ba[k], bb[k])
+    a = batches(1)
+    # process pool (the default on fork platforms) and the thread fallback
+    # must both be bit-identical to serial execution
+    for b in (batches(4, use_processes=True), batches(4, use_processes=False)):
+        assert len(a) == len(b)
+        for ba, bb in zip(a, b):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k])

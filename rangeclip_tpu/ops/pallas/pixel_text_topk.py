@@ -34,8 +34,13 @@ config: batch 128, 256^2, C=512, bf16 — base 12.2 ms standalone):
     the sortable-int scores (one max-reduction per top-k pass instead of
     max + masked min-index): 9.6 ms (-21%) but INEXACT — candidates whose
     f32 scores differ only below 2^-13 relative get reordered by index,
-    breaking the kernel's exact-equality contract with lax.top_k.  The
-    selection loop below is the fastest *exact* formulation found.
+    breaking the kernel's exact-equality contract with lax.top_k;
+  * int8-quantized scoring (round(unit_emb*127) int8 x int8 text on the
+    2x-rate int8 MXU, int32 selection): 12.6 ms — the in-kernel quantize
+    pass costs what the faster matmul saves, AND top-1 agreement with
+    exact scoring was only ~88% on random unit vectors.  Slower and
+    lossy; rejected outright.
+The selection loop below is the fastest *exact* formulation found.
 """
 
 from __future__ import annotations

@@ -11,11 +11,12 @@ import subprocess
 
 def build() -> str:
     here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(here, "preprocess.cpp")
+    srcs = [os.path.join(here, "preprocess.cpp"),
+            os.path.join(here, "png_decode.cpp")]
     out = os.path.join(here, "libpreprocess.so")
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        src, "-o", out,
+        *srcs, "-o", out, "-lz",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     return out

@@ -28,12 +28,22 @@ def lib() -> Optional[ctypes.CDLL]:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        if not os.path.exists(_SO_PATH):
+        here = os.path.dirname(_SO_PATH)
+        src_mtime = max(
+            (os.path.getmtime(os.path.join(here, f))
+             for f in os.listdir(here) if f.endswith((".cpp", ".py"))),
+            default=0.0,
+        )
+        stale = (os.path.exists(_SO_PATH)
+                 and os.path.getmtime(_SO_PATH) < src_mtime)
+        if stale or not os.path.exists(_SO_PATH):
             try:
                 from rangeclip_tpu.native.build import build
 
-                build()
+                build()  # make-style: rebuild when any source is newer
             except Exception:
+                # no toolchain; a stale .so may lack current symbols either
+                # way, so don't load anything
                 return None
         try:
             cdll = ctypes.CDLL(_SO_PATH)

@@ -103,20 +103,28 @@ def main(argv=None) -> None:
     q: "queue.Queue" = queue.Queue(maxsize=4)
     sentinel = object()
 
+    from rangeclip_tpu.data.dataset import _open_gray
+
+    producer_error = []
+
     def producer():
-        batch, names = [], []
-        for p in paths:
-            depth = np.asarray(Image.open(p).convert("I"), np.float32)
-            batch.append(depth_transform(depth, size)[..., None])
-            names.append(os.path.splitext(os.path.basename(p))[0])
-            if len(batch) == args.batch_size:
+        try:
+            batch, names = [], []
+            for p in paths:
+                depth = _open_gray(p).astype(np.float32)  # native fast path
+                batch.append(depth_transform(depth, size)[..., None])
+                names.append(os.path.splitext(os.path.basename(p))[0])
+                if len(batch) == args.batch_size:
+                    q.put((np.stack(batch), names))
+                    batch, names = [], []
+            if batch:  # pad the tail to the fixed shape
+                n = len(batch)
+                batch += [batch[0]] * (args.batch_size - n)
                 q.put((np.stack(batch), names))
-                batch, names = [], []
-        if batch:  # pad the tail to the fixed shape
-            n = len(batch)
-            batch += [batch[0]] * (args.batch_size - n)
-            q.put((np.stack(batch), names))
-        q.put(sentinel)
+        except Exception as e:  # surfaced below; sentinel always lands
+            producer_error.append(e)
+        finally:
+            q.put(sentinel)
 
     threading.Thread(target=producer, daemon=True).start()
 
@@ -125,48 +133,64 @@ def main(argv=None) -> None:
     out_q: "queue.Queue" = queue.Queue(maxsize=4)
     n_done = 0
 
+    writer_error = []
+
     def writer():
         nonlocal n_done
         while True:
             item = out_q.get()
             if item is sentinel:
                 return
+            if writer_error:  # drain after failure so the main loop
+                continue      # never blocks on a full queue
             topk, names = item
-            for i, name in enumerate(names):
-                top1 = topk[i, :, :, 0]
-                np.save(os.path.join(args.output_dir, f"{name}_topk.npy"),
-                        topk[i])
-                Image.fromarray(top1.astype(np.int32), mode="I").save(
-                    os.path.join(args.output_dir, f"{name}_labels.png")
-                )
-                if args.save_preview:
-                    rgb = (colorize_segmentation(top1, colors) * 255).astype(
-                        np.uint8)
-                    Image.fromarray(rgb).save(
-                        os.path.join(args.output_dir, f"{name}_preview.png")
+            try:
+                for i, name in enumerate(names):
+                    top1 = topk[i, :, :, 0]
+                    np.save(os.path.join(args.output_dir, f"{name}_topk.npy"),
+                            topk[i])
+                    Image.fromarray(top1.astype(np.int32), mode="I").save(
+                        os.path.join(args.output_dir, f"{name}_labels.png")
                     )
-            n_done += len(names)
+                    if args.save_preview:
+                        rgb = (colorize_segmentation(top1, colors)
+                               * 255).astype(np.uint8)
+                        Image.fromarray(rgb).save(
+                            os.path.join(args.output_dir,
+                                         f"{name}_preview.png")
+                        )
+                n_done += len(names)
+            except Exception as e:  # surfaced after join; keep draining
+                writer_error.append(e)
 
-    writer_thread = threading.Thread(target=writer)
+    # Daemon: a crash in the main loop must not leave the process hung on
+    # a non-daemon writer blocked in out_q.get().
+    writer_thread = threading.Thread(target=writer, daemon=True)
     writer_thread.start()
 
     # One-deep device pipeline: dispatch batch N+1 (async under jax) before
     # fetching batch N's result, so device compute overlaps the D2H copy.
     t0 = time.perf_counter()
     pending = None
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        depth_batch, names = item
-        dev_topk = predict(variables, jnp.asarray(depth_batch))
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            depth_batch, names = item
+            dev_topk = predict(variables, jnp.asarray(depth_batch))
+            if pending is not None:
+                out_q.put((np.asarray(pending[0]), pending[1]))
+            pending = (dev_topk, names)
         if pending is not None:
             out_q.put((np.asarray(pending[0]), pending[1]))
-        pending = (dev_topk, names)
-    if pending is not None:
-        out_q.put((np.asarray(pending[0]), pending[1]))
-    out_q.put(sentinel)
-    writer_thread.join()
+    finally:
+        out_q.put(sentinel)
+        writer_thread.join()
+    if producer_error:
+        raise producer_error[0]
+    if writer_error:
+        raise writer_error[0]
     dt = time.perf_counter() - t0
     print(f"Segmented {n_done} depth maps in {dt:.2f}s "
           f"({n_done / max(dt, 1e-9):.1f} maps/s)")

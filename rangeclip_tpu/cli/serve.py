@@ -232,10 +232,12 @@ def main(argv=None) -> None:
     predict, variables, labels = build_engine(args)
     engine = Engine(predict, variables, args.batch_size,
                     (args.height, args.width))
-    # Default listen backlog (5) drops connections under bursty clients;
-    # the bounded engine queue is the real admission control.
-    ThreadingHTTPServer.request_queue_size = 128
-    server = ThreadingHTTPServer(
+    class Server(ThreadingHTTPServer):
+        # Default listen backlog (5) drops connections under bursty
+        # clients; the bounded engine queue is the real admission control.
+        request_queue_size = 128
+
+    server = Server(
         (args.host, args.port),
         make_handler(engine, labels, (args.height, args.width)),
     )

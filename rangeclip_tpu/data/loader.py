@@ -24,14 +24,14 @@ real multi-core decode.  (The dev machine here has a single core, so both
 modes measure the same on it; the pool is persistent across epochs either
 way.)  Each sample's RNG is derived from its (seed, epoch, shard, position)
 alone, so thread, process, and serial execution produce bit-identical
-batches in any completion order.  Fork-unsafe or unpicklable datasets fall
-back to threads automatically.
+batches in any completion order.  Workers use a forkserver (clean helper
+process — never fork()ing the JAX-threaded parent); unpicklable datasets
+fall back to threads automatically.
 """
 
 from __future__ import annotations
 
 import multiprocessing
-import os
 import pickle
 import queue
 import random
@@ -161,9 +161,7 @@ class ShardedBatchLoader:
             return False
         if self.use_processes is not None:
             return self.use_processes
-        if not hasattr(os, "fork"):
-            return False
-        try:  # workers receive the dataset once, by pickle, at fork time
+        try:  # workers receive the dataset once, by pickle, at pool start
             pickle.dumps(self.dataset)
             return True
         except Exception:
@@ -180,9 +178,18 @@ class ShardedBatchLoader:
         if self._pool is not None:
             self._pool.shutdown(wait=False)
         if self._want_processes():
+            # forkserver, not fork: by the time the pool is first used the
+            # parent has live non-Python threads (XLA/PJRT pools, backend
+            # RPC); fork() would copy the address space with their mutexes
+            # held and a worker could deadlock on first malloc/log call.
+            # forkserver workers descend from a clean helper process; the
+            # dataset reaches them once, by pickle, via the initializer.
+            methods = multiprocessing.get_all_start_methods()
+            ctx = multiprocessing.get_context(
+                "forkserver" if "forkserver" in methods else "spawn")
             self._pool = ProcessPoolExecutor(
                 max_workers=self.num_workers,
-                mp_context=multiprocessing.get_context("fork"),
+                mp_context=ctx,
                 initializer=_init_worker,
                 initargs=(self.dataset,),
             )

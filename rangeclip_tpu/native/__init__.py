@@ -42,32 +42,43 @@ def lib() -> Optional[ctypes.CDLL]:
 
                 build()  # make-style: rebuild when any source is newer
             except Exception:
-                # no toolchain; a stale .so may lack current symbols either
-                # way, so don't load anything
-                return None
+                # No toolchain.  An existing .so may still be usable (the
+                # staleness can be a spurious .py mtime bump): load it and
+                # let the symbol binding below decide — a genuinely old
+                # .so missing current symbols returns None there.
+                pass
+        if not os.path.exists(_SO_PATH):
+            return None
         try:
             cdll = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
 
-        i64, f32p, i32p = (ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
-                           ctypes.POINTER(ctypes.c_int32))
-        cdll.nearest_resize_f32.argtypes = [f32p, f32p, i64, i64, i64, i64, i64]
-        cdll.nearest_resize_i32.argtypes = [i32p, i32p, i64, i64, i64, i64]
-        cdll.lower_median_f32.argtypes = [f32p, i64]
-        cdll.lower_median_f32.restype = ctypes.c_float
-        cdll.median_normalize_f32.argtypes = [f32p, i64]
-        cdll.depth_transform_f32.argtypes = [f32p, f32p, i64, i64, i64, i64]
-        ci = ctypes.c_int
-        cdll.png_header.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ci), ctypes.POINTER(ci),
-            ctypes.POINTER(ci), ctypes.POINTER(ci),
-        ]
-        cdll.png_header.restype = ci
-        cdll.png_decode.argtypes = [
-            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long,
-        ]
-        cdll.png_decode.restype = ci
+        try:
+            i64, f32p, i32p = (ctypes.c_int64,
+                               ctypes.POINTER(ctypes.c_float),
+                               ctypes.POINTER(ctypes.c_int32))
+            cdll.nearest_resize_f32.argtypes = [f32p, f32p, i64, i64, i64,
+                                                i64, i64]
+            cdll.nearest_resize_i32.argtypes = [i32p, i32p, i64, i64, i64,
+                                                i64]
+            cdll.lower_median_f32.argtypes = [f32p, i64]
+            cdll.lower_median_f32.restype = ctypes.c_float
+            cdll.median_normalize_f32.argtypes = [f32p, i64]
+            cdll.depth_transform_f32.argtypes = [f32p, f32p, i64, i64, i64,
+                                                 i64]
+            ci = ctypes.c_int
+            cdll.png_header.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ci), ctypes.POINTER(ci),
+                ctypes.POINTER(ci), ctypes.POINTER(ci),
+            ]
+            cdll.png_header.restype = ci
+            cdll.png_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long,
+            ]
+            cdll.png_decode.restype = ci
+        except AttributeError:  # .so predates a source change
+            return None
         _LIB = cdll
         return _LIB
 

@@ -14,11 +14,21 @@ def build() -> str:
     srcs = [os.path.join(here, "preprocess.cpp"),
             os.path.join(here, "png_decode.cpp")]
     out = os.path.join(here, "libpreprocess.so")
+    # Compile to a private temp path and rename into place: rename is
+    # atomic, so concurrent builders (multiple loader worker processes on
+    # a fresh checkout) can race without anyone dlopening a half-written
+    # .so — the loser's rename just replaces the winner's identical file.
+    tmp = f"{out}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        *srcs, "-o", out, "-lz",
+        *srcs, "-o", tmp, "-lz",
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return out
 
 

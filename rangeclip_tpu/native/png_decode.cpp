@@ -38,7 +38,8 @@ uint32_t be32(const unsigned char* p) {
          (uint32_t(p[2]) << 8) | uint32_t(p[3]);
 }
 
-int read_file(const char* path, std::vector<unsigned char>& buf) {
+int read_file(const char* path, std::vector<unsigned char>& buf,
+              long max_bytes = 0) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return ERR_IO;
   std::fseek(f, 0, SEEK_END);
@@ -48,6 +49,7 @@ int read_file(const char* path, std::vector<unsigned char>& buf) {
     std::fclose(f);
     return ERR_IO;
   }
+  if (max_bytes > 0 && n > max_bytes) n = max_bytes;
   buf.resize(size_t(n));
   size_t got = std::fread(buf.data(), 1, size_t(n), f);
   std::fclose(f);
@@ -115,8 +117,12 @@ extern "C" {
 
 int png_header(const char* path, int* w, int* h, int* channels,
                int* bit_depth) {
+  // IHDR is required to be the first chunk (signature 8 + chunk header 8 +
+  // 13 data + 4 crc = 33 bytes); a 64-byte prefix is plenty — the hot path
+  // must not slurp the whole file twice, and non-PNG inputs (JPEG
+  // datasets) bail after one tiny read.
   std::vector<unsigned char> buf;
-  int rc = read_file(path, buf);
+  int rc = read_file(path, buf, 64);
   if (rc) return rc;
   PngInfo info;
   rc = parse(buf, &info, nullptr);

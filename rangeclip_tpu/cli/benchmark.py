@@ -225,17 +225,19 @@ def cmd_loader(args) -> None:
             "maps_per_sec": round(n_maps / dt, 2),
         }))
 
+    import os as _os
+
     from rangeclip_tpu import native as native_mod
 
     if native_mod.lib() is not None:
         run("native-c++")
-    # numpy fallback: force the native path off
-    orig = native_mod._LIB, native_mod._TRIED
-    native_mod._LIB, native_mod._TRIED = None, True
+    # numpy fallback: the env toggle (unlike a monkeypatch) reaches the
+    # loader's worker processes, which start from a forkserver helper.
+    _os.environ["RANGECLIP_NATIVE"] = "off"
     try:
         run("numpy")
     finally:
-        native_mod._LIB, native_mod._TRIED = orig
+        del _os.environ["RANGECLIP_NATIVE"]
 
 
 def main(argv=None) -> None:

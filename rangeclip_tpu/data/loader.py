@@ -32,6 +32,7 @@ fall back to threads automatically.
 from __future__ import annotations
 
 import multiprocessing
+import os
 import pickle
 import queue
 import random
@@ -44,9 +45,14 @@ import numpy as np
 _WORKER_DATASET = None
 
 
-def _init_worker(dataset) -> None:
+def _init_worker(dataset, env: Dict[str, str]) -> None:
+    """Pool initializer: receives the dataset plus the parent's relevant
+    env (e.g. the RANGECLIP_NATIVE toggle).  Forkserver workers descend
+    from a helper whose environment froze at first pool creation, so env
+    the parent sets later must be shipped explicitly."""
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
+    os.environ.update(env)
 
 
 def _fetch_with(dataset, args):
@@ -187,11 +193,15 @@ class ShardedBatchLoader:
             methods = multiprocessing.get_all_start_methods()
             ctx = multiprocessing.get_context(
                 "forkserver" if "forkserver" in methods else "spawn")
+            passthrough = {
+                k: v for k, v in os.environ.items()
+                if k.startswith("RANGECLIP_")
+            }
             self._pool = ProcessPoolExecutor(
                 max_workers=self.num_workers,
                 mp_context=ctx,
                 initializer=_init_worker,
-                initargs=(self.dataset,),
+                initargs=(self.dataset, passthrough),
             )
             self._fetch_fn = _fetch_in_worker
         else:

@@ -25,6 +25,10 @@ _SO_PATH = os.path.join(os.path.dirname(__file__), "libpreprocess.so")
 def lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     with _LOCK:
+        # Env toggle (not a monkeypatch) so it reaches loader worker
+        # processes, which start from a clean forkserver helper.
+        if os.environ.get("RANGECLIP_NATIVE", "").lower() in ("off", "0"):
+            return None
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True

@@ -100,6 +100,25 @@ def test_cli_train_then_validate_then_infer(workspace):
     topk = np.load(topk_out[0])
     assert topk.shape == (RES, RES, 5)
 
+    # a corrupt input must fail the CLI (producer error propagates through
+    # the pipeline threads) rather than hanging the queue handoff
+    bad_dir = ws["root"] / "bad"
+    bad_dir.mkdir()
+    (bad_dir / "depth_bad.png").write_bytes(b"not a png")
+    du_mod.DepthUNetConfig = small_cfg
+    try:
+        with pytest.raises(Exception):
+            infer_cli.main([
+                "--checkpoint_dir", ckpt_dir,
+                "--depth_glob", str(bad_dir / "depth_*.png"),
+                "--labels_path", ws["labels"],
+                "--output_dir", str(ws["root"] / "out_bad"),
+                "--batch_size", "4", "--height", str(RES),
+                "--width", str(RES), "--embedding_dim", str(EDIM),
+            ])
+    finally:
+        du_mod.DepthUNetConfig = du_orig
+
     # robustness benchmark over the trained checkpoint
     du_mod.DepthUNetConfig = small_cfg
     try:

@@ -76,7 +76,10 @@ def cmd_throughput(args) -> None:
         opt = make_optimizer(1e-4)
         state = create_train_state(jax.random.key(0), cfg, opt,
                                    (args.train_batch, res, res, 1))
-        step = make_train_step(model, opt, HybridLossConfig(), accum_steps=8)
+        step = make_train_step(
+            model, opt, HybridLossConfig(pixel_sampler=args.pixel_sampler),
+            accum_steps=8,
+        )
         A, B = 8, args.train_batch
         rngnp = np.random.default_rng(0)
         batch_data = {
@@ -260,6 +263,12 @@ def main(argv=None) -> None:
     t.add_argument("--rounds", type=int, default=3)
     t.add_argument("--bf16", action="store_true")
     t.add_argument("--both_precisions", action="store_true")
+    t.add_argument("--pixel_sampler", choices=["auto", "multinomial"],
+                   default="auto",
+                   help="Pixel-draw counts for the train-step timing: "
+                        "'auto' = histogram scatter (gather-bit-parity), "
+                        "'multinomial' = scatter-free counts hoisted out "
+                        "of the grad'd scan (same law, different stream).")
     t.set_defaults(fn=cmd_throughput)
 
     r = sub.add_parser("robustness")

@@ -41,7 +41,14 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from rangeclip_tpu.losses.hybrid import HybridLossConfig, compute_hybrid_loss
+from rangeclip_tpu.losses.hybrid import (
+    HybridLossConfig,
+    compute_hybrid_loss,
+    pixel_sampling_key,
+)
+from rangeclip_tpu.losses.infonce import (
+    sample_pixel_multiplicities_multinomial,
+)
 from rangeclip_tpu.losses.pooling import per_item_masked_pooling
 from rangeclip_tpu.models.depth_unet import DepthUNet
 from rangeclip_tpu.training.state import TrainState
@@ -54,6 +61,7 @@ def make_train_step(
     accum_steps: int = 8,
     donate: bool = True,
     native_losses: bool = True,
+    hoist_sampling: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -78,6 +86,13 @@ def make_train_step(
     parity runs.
     """
     use_image_loss = loss_config.w_image > 0
+
+    # Hoisting applies to the multinomial sampler only (the histogram
+    # scatter has no grad path to trip on, and the gather sampler needs
+    # the forward's field); ``hoist_sampling=False`` keeps the sampler
+    # inline for the bit-identity test.
+    hoist_multinomial = (hoist_sampling
+                         and loss_config.pixel_sampler == "multinomial")
 
     def microbatch_loss(params, batch_stats, mb, rng, pct_m, pct_h,
                         text_table, medium_matrix, hard_matrix):
@@ -119,6 +134,10 @@ def make_train_step(
             sample_weight=mb.get("sample_valid"),
             config=loss_config,
             label_upsample=ups,
+            precomputed_pixels=(
+                (mb["_pixel_weights"], mb["_pixel_labels"])
+                if "_pixel_weights" in mb else None
+            ),
         )
         return total, (info, updated["batch_stats"])
 
@@ -136,6 +155,39 @@ def make_train_step(
         hard_matrix: jax.Array,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+
+        if hoist_multinomial and loss_config.w_text > 0:
+            # Hoist the multinomial pixel sampler out of the grad'd scan
+            # body: binomial's rejection while_loops are re-executed
+            # pathologically when differentiated-through inside scan+grad;
+            # outside they run once.  The key derivation matches the
+            # in-loss sampler exactly (pixel_sampling_key), so hoisted and
+            # inline sampling are bit-identical.
+            H = batch["depth"].shape[2]
+            if native_losses:
+                field = jax.eval_shape(
+                    lambda p, bs, d: model.apply(
+                        {"params": p, "batch_stats": bs}, d, train=True,
+                        mutable=["batch_stats"],
+                        method=DepthUNet.forward_native,
+                    )[0][0],
+                    state.params, state.batch_stats, batch["depth"][0],
+                )
+                hoist_ups = H // field.shape[1]
+            else:
+                hoist_ups = 1
+
+            def sample_mb(idx):
+                mb_rng = jax.random.fold_in(rng, idx)
+                return sample_pixel_multiplicities_multinomial(
+                    pixel_sampling_key(mb_rng),
+                    batch["segmentation"][idx],
+                    loss_config.percent_image_sampling,
+                    slots=hoist_ups,
+                )
+
+            pw, pl = jax.lax.map(sample_mb, jnp.arange(accum_steps))
+            batch = dict(batch, _pixel_weights=pw, _pixel_labels=pl)
 
         def scan_body(carry, mb_with_idx):
             grads_acc, batch_stats, info_acc = carry

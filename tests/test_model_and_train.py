@@ -259,3 +259,46 @@ def test_predict_native_scoring_identity():
     )
     np.testing.assert_array_equal(np.asarray(topk_lite), np.asarray(topk_full))
     assert emb_lite.shape == (2, 16, 16, 32)
+
+
+def test_hoisted_multinomial_sampler_matches_inline():
+    """The train step hoists the multinomial pixel sampler out of the
+    grad'd scan (binomial's while_loops re-execute pathologically inside
+    scan+grad); hoisted and inline use the same derived key, so losses
+    and parameter updates must be bit-identical."""
+    import dataclasses
+
+    model = _tiny_model()
+    opt = make_optimizer(weight_decay=1e-4)
+    cfg = dataclasses.replace(HybridLossConfig(), pixel_sampler="multinomial")
+
+    A, B, H, W, C, D = 2, 2, 32, 32, 20, 32
+    key = jax.random.key(1)
+    batch = {
+        "depth": jax.random.normal(key, (A, B, H, W, 1)),
+        "segmentation": jax.random.randint(key, (A, B, H, W), 0, 6),
+        "object_label": jnp.ones((A, B), jnp.int32),
+        "image_embeddings": jax.random.normal(key, (A, B, D)),
+        "sample_valid": jnp.ones((A, B), jnp.float32),
+    }
+    text = jax.random.normal(jax.random.key(2), (C, D))
+    medium = jnp.zeros((C, C), bool)
+    hard = jnp.zeros((C, C), bool)
+
+    states, infos = {}, {}
+    for hoist in (False, True):
+        state = create_train_state(jax.random.key(0), TINY, opt, (1, H, W, 1))
+        step = make_train_step(model, opt, cfg, accum_steps=A, donate=False,
+                               hoist_sampling=hoist)
+        s, info = step(state, batch, jax.random.key(3), jnp.float32(1e-3),
+                       jnp.float32(0.25), jnp.float32(0.5), text, medium,
+                       hard)
+        states[hoist], infos[hoist] = s, info
+
+    for k in ("total_loss", "text_contrastive_loss", "smoothness_loss",
+              "image_contrastive_loss"):
+        assert float(infos[True][k]) == float(infos[False][k]), k
+    deltas = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        states[True].params, states[False].params)
+    assert max(jax.tree.leaves(deltas)) == 0.0

@@ -76,10 +76,6 @@ def cmd_throughput(args) -> None:
         opt = make_optimizer(1e-4)
         state = create_train_state(jax.random.key(0), cfg, opt,
                                    (args.train_batch, res, res, 1))
-        step = make_train_step(
-            model, opt, HybridLossConfig(pixel_sampler=args.pixel_sampler),
-            accum_steps=8,
-        )
         A, B = 8, args.train_batch
         rngnp = np.random.default_rng(0)
         batch_data = {
@@ -92,26 +88,38 @@ def cmd_throughput(args) -> None:
         text = jax.random.normal(jax.random.key(1), (C, D))
         med = jnp.zeros((C, C), bool)
 
-        def run_step(s):
-            return step(s, batch_data, jax.random.key(5), jnp.float32(1e-4),
-                        jnp.float32(0.25), jnp.float32(0.5), text, med, med)
+        # multiple samplers A/B within ONE process: tunnel throughput
+        # varies ~10x across processes, in-process comparisons don't
+        for sampler in args.pixel_sampler:
+            step = make_train_step(
+                model, opt, HybridLossConfig(pixel_sampler=sampler),
+                accum_steps=8,
+            )
 
-        state, _ = run_step(state)
-        jax.block_until_ready(state)
-        n = max(args.iters // 4, 2)
-        dt = float("inf")
-        for _ in range(args.rounds):
-            t0 = time.perf_counter()
-            for _ in range(n):
-                state, info = run_step(state)
-            jax.block_until_ready(state)
-            dt = min(dt, (time.perf_counter() - t0) / n)
-        results.append({
-            "mode": "train_step", "precision": "bf16" if bf16 else "fp32",
-            "accum": A, "microbatch": B, "resolution": res,
-            "s_per_step": round(dt, 4),
-            "maps_per_sec": round(A * B / dt, 2),
-        })
+            def run_step(s):
+                return step(s, batch_data, jax.random.key(5),
+                            jnp.float32(1e-4), jnp.float32(0.25),
+                            jnp.float32(0.5), text, med, med)
+
+            # fresh copy per sampler — the jitted step donates its state
+            # argument, so the original buffers die on first use
+            sstate, _ = run_step(jax.tree.map(jnp.copy, state))
+            jax.block_until_ready(sstate)
+            n = max(args.iters // 4, 2)
+            dt = float("inf")
+            for _ in range(args.rounds):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    sstate, info = run_step(sstate)
+                jax.block_until_ready(sstate)
+                dt = min(dt, (time.perf_counter() - t0) / n)
+            results.append({
+                "mode": "train_step", "precision": "bf16" if bf16 else "fp32",
+                "pixel_sampler": sampler,
+                "accum": A, "microbatch": B, "resolution": res,
+                "s_per_step": round(dt, 4),
+                "maps_per_sec": round(A * B / dt, 2),
+            })
 
     for r in results:
         print(json.dumps(r))
@@ -263,12 +271,13 @@ def main(argv=None) -> None:
     t.add_argument("--rounds", type=int, default=3)
     t.add_argument("--bf16", action="store_true")
     t.add_argument("--both_precisions", action="store_true")
-    t.add_argument("--pixel_sampler", choices=["auto", "multinomial"],
-                   default="auto",
+    t.add_argument("--pixel_sampler", nargs="+",
+                   choices=["auto", "multinomial"], default=["auto"],
                    help="Pixel-draw counts for the train-step timing: "
                         "'auto' = histogram scatter (gather-bit-parity), "
                         "'multinomial' = scatter-free counts hoisted out "
-                        "of the grad'd scan (same law, different stream).")
+                        "of the grad'd scan (same law, different stream). "
+                        "Pass several to A/B them within one process.")
     t.set_defaults(fn=cmd_throughput)
 
     r = sub.add_parser("robustness")

@@ -38,10 +38,14 @@ class HybridLossConfig:
     # key (the parity/proof formulation; scatter-add ~10 ms/step on TPU).
     # "multinomial" draws the same Multinomial law scatter-free by binomial
     # splitting (infonce.multinomial_counts) — a benchmarked NEGATIVE
-    # result for training: 0.36 ms standalone, but jax.random.binomial's
-    # rejection while_loops re-execute pathologically inside the
-    # scan+grad train step (measured 118 -> 521 ms/step), so it stays an
-    # opt-in for inference-side or standalone use.
+    # result for training even after every structural fix: the train step
+    # hoists it outside grad and scan (precomputed_pixels, unrolled Python
+    # loop), and the full 8-microbatch sampler is 0.18 ms as a standalone
+    # program — yet merged into the train-step program the step goes
+    # 320 -> 668 ms (a control hoisting the histogram sampler through the
+    # exact same path costs nothing, 264 vs 277 ms), i.e. the cost is
+    # jax.random.binomial's rejection while_loops CO-RESIDING in a large
+    # XLA program, not the sampling math.  Stays opt-in for standalone use.
     pixel_sampler: str = "auto"
 
 

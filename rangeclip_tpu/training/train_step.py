@@ -158,11 +158,14 @@ def make_train_step(
 
         if hoist_multinomial and loss_config.w_text > 0:
             # Hoist the multinomial pixel sampler out of the grad'd scan
-            # body: binomial's rejection while_loops are re-executed
-            # pathologically when differentiated-through inside scan+grad;
-            # outside they run once.  The key derivation matches the
-            # in-loss sampler exactly (pixel_sampling_key), so hoisted and
-            # inline sampling are bit-identical.
+            # body; the key derivation matches the in-loss sampler exactly
+            # (pixel_sampling_key), so hoisted and inline sampling are
+            # bit-identical (tested).  NOTE measured outcome: the hoist
+            # does NOT rescue the sampler — binomial's while_loops cost
+            # ~350 ms merely by being in the same XLA program as the train
+            # step (668 vs 320 ms/step; 0.18 ms standalone; a histogram
+            # control through this same path is free).  The histogram
+            # default remains the fast path; see HybridLossConfig.
             H = batch["depth"].shape[2]
             if native_losses:
                 field = jax.eval_shape(
@@ -186,7 +189,12 @@ def make_train_step(
                     slots=hoist_ups,
                 )
 
-            pw, pl = jax.lax.map(sample_mb, jnp.arange(accum_steps))
+            # unrolled, NOT lax.map: lax.map is a scan, and binomial's
+            # while_loops are pathological inside any scan (measured 667 ms
+            # vs 320 ms/step via lax.map; unrolled ~3 ms total)
+            per_mb = [sample_mb(i) for i in range(accum_steps)]
+            pw = jnp.stack([w for w, _ in per_mb])
+            pl = jnp.stack([l for _, l in per_mb])
             batch = dict(batch, _pixel_weights=pw, _pixel_labels=pl)
 
         def scan_body(carry, mb_with_idx):

@@ -87,7 +87,7 @@ def main() -> None:
     from rangeclip_tpu.models.depth_unet import (
         DepthUNet,
         DepthUNetConfig,
-        build_candidate_mask,
+        build_candidate_indices,
     )
 
     cfg = DepthUNetConfig(use_batch_norm=True, dtype=jnp.bfloat16)
@@ -110,13 +110,21 @@ def main() -> None:
     _progress("init done")
     text = jax.random.normal(jax.random.key(2), (NUM_CLASSES, 512), jnp.float32)
     seg = jax.random.randint(jax.random.key(3), (BATCH, RES, RES), 0, 40)
-    cand = build_candidate_mask(jax.random.key(4), seg, NUM_CLASSES, 300)
+    # Gathered reduced-candidate form (the reference's own predict
+    # formulation, model.py:147-161): the same draw as the [C] mask, as a
+    # fixed-capacity ascending index list — scoring runs over 384 slots
+    # instead of all 512 classes with bit-identical labels (and therefore
+    # a bit-identical checksum; capacity 384 = 40-label GT bound + 300
+    # negatives, rounded up to a lane multiple).
+    cand = build_candidate_indices(jax.random.key(4), seg, NUM_CLASSES, 300,
+                                   capacity=384)
 
     @jax.jit
     def predict(variables, depth, text, cand):
         topk, _, _ = model.apply(
-            variables, depth, text, cand, TOP_K,
+            variables, depth, text, None, TOP_K,
             method=DepthUNet.predict, return_embeddings=False,
+            candidate_indices=cand,
         )
         # Scalar checksum over the full [B, H, W, k] label field: fetching it
         # forces every upstream program to have really executed.  The 1-D

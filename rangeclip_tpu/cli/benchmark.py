@@ -76,7 +76,7 @@ def cmd_throughput(args) -> None:
         opt = make_optimizer(1e-4)
         state = create_train_state(jax.random.key(0), cfg, opt,
                                    (args.train_batch, res, res, 1))
-        A, B = 8, args.train_batch
+        A, B = args.accum_steps, args.train_batch
         rngnp = np.random.default_rng(0)
         batch_data = {
             "depth": rngnp.standard_normal((A, B, res, res, 1)).astype(np.float32),
@@ -93,7 +93,7 @@ def cmd_throughput(args) -> None:
         for sampler in args.pixel_sampler:
             step = make_train_step(
                 model, opt, HybridLossConfig(pixel_sampler=sampler),
-                accum_steps=8,
+                accum_steps=A,
             )
 
             def run_step(s):
@@ -266,6 +266,11 @@ def main(argv=None) -> None:
                         "streaming-inference stretch config).")
     t.add_argument("--batch_sizes", nargs="+", type=int, default=[1, 8, 32])
     t.add_argument("--train_batch", type=int, default=8)
+    t.add_argument("--accum_steps", type=int, default=8,
+                   help="Gradient-accumulation microbatches per optimizer "
+                        "step.  The reference's 8 is a GPU-memory artifact; "
+                        "on TPU accum 1 x a bigger microbatch is the same "
+                        "summed gradient with better MXU occupancy.")
     t.add_argument("--num_classes", type=int, default=512)
     t.add_argument("--iters", type=int, default=20)
     t.add_argument("--rounds", type=int, default=3)

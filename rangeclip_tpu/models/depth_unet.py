@@ -187,6 +187,7 @@ class DepthUNet(nn.Module):
         scoring: str = "auto",
         score_native: bool = True,
         return_embeddings: bool = True,
+        candidate_indices: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Reduced-candidate top-k prediction (model.py:119-175).
 
@@ -195,7 +196,18 @@ class DepthUNet(nn.Module):
           candidate_text_embeddings: full text table [C, D] (unnormalized).
           candidate_mask: [C] bool — True for classes in the reduced set
             (GT labels + sampled negatives); build it with
-            :func:`build_candidate_mask`.
+            :func:`build_candidate_mask`.  Ignored (may be None) when
+            ``candidate_indices`` is given.
+          candidate_indices: optional [S] int32, ascending candidate class
+            ids padded with -1 (:func:`build_candidate_indices`).  When
+            given, scoring GATHERS the S candidate rows of the text table
+            first — the reference's own formulation (model.py:147-161) —
+            so the matmul and the top-k passes run over S slots instead of
+            all C classes (~25% less scoring work at the canonical
+            C=512 / 300-negative config).  Because the slots are in
+            ascending class order, min-index tie-breaking matches the
+            masked path exactly: the two paths return bit-identical labels
+            (tested).  S must bound |unique GT labels| + num_negatives.
           top_k: number of top labels per pixel.
           scoring: 'pallas' (fused VMEM-resident score+top-k kernel — the
             TPU fast path; lax.top_k over the [B*H*W, C] logits is ~50x
@@ -247,7 +259,16 @@ class DepthUNet(nn.Module):
         )
         temp_text = jnp.exp(self.log_temperature_text)
 
-        text = l2_normalize(candidate_text_embeddings.astype(jnp.float32), axis=-1)
+        if candidate_indices is not None:
+            # Gathered reduced table (model.py:147-161): one [S, D] gather
+            # replaces C-S dead classes in every downstream matmul/top-k.
+            table = candidate_text_embeddings[
+                jnp.maximum(candidate_indices, 0)
+            ]
+            candidate_mask = candidate_indices >= 0
+        else:
+            table = candidate_text_embeddings
+        text = l2_normalize(table.astype(jnp.float32), axis=-1)
 
         B, H, W, D = pixel_embeddings.shape
         if scoring == "pallas":
@@ -265,12 +286,16 @@ class DepthUNet(nn.Module):
             # scoring/top-k is order-agnostic and the index map back to
             # [B, H, W, k] is folded into the output reshape.
             field_t = jnp.transpose(pixel_embeddings, (1, 2, 0, 3))
+            # the kernel emits global class ids itself (candidate_ids) —
+            # an XLA [N, k] gather remap costs ~86 ms at the canonical
+            # predict config, 3x the whole kernel
             idx, _ = fused_pixel_text_topk(
                 field_t,
                 text.astype(pixel_embeddings.dtype),
                 candidate_mask,
                 top_k=top_k,
                 want_values=False,
+                candidate_ids=candidate_indices,
             )
             topk_indices = idx.reshape(H, W, B, top_k).transpose(2, 0, 1, 3)
             if return_embeddings:  # True or "native"
@@ -284,6 +309,13 @@ class DepthUNet(nn.Module):
             )
             logits = jnp.where(candidate_mask[None, None, None, :], logits, NEG_INF)
             _, topk_indices = jax.lax.top_k(logits, top_k)
+            if candidate_indices is not None:
+                # slot -> global class id (padded slots only win when the
+                # candidate set is smaller than top_k; they map to -1).
+                # Only the XLA branch needs this remap — the Pallas kernel
+                # emits global ids directly (candidate_ids above).
+                topk_indices = jnp.take(candidate_indices, topk_indices,
+                                        axis=0)
 
         if (H, W) != target_shape:
             topk_indices = resize_nearest(topk_indices, target_shape)
@@ -376,3 +408,46 @@ def build_candidate_mask(
     valid = jnp.isfinite(picked_scores)
     neg_mask = jnp.zeros((num_classes,), jnp.bool_).at[neg_idx].max(valid)
     return gt_mask | neg_mask
+
+
+def candidate_indices_from_mask(
+    candidate_mask: jax.Array, capacity: int
+) -> jax.Array:
+    """[C] bool mask -> [capacity] int32 candidate ids, ascending, -1 pad.
+
+    The ascending order makes min-index tie-breaking over the gathered
+    table identical to tie-breaking over the masked full table, so
+    ``predict(candidate_indices=...)`` is bit-identical to
+    ``predict(candidate_mask=...)`` whenever the mask's population fits in
+    ``capacity`` (classes beyond the capacity are silently dropped —
+    size it as |unique GT| upper bound + num_negatives, rounded up to a
+    multiple of 128 for MXU-friendly scoring shapes).
+    """
+    C = candidate_mask.shape[0]
+    # score True entries by descending class id -> top_k returns the True
+    # class ids in ascending order, padded with score-0 (invalid) picks
+    score = jnp.where(candidate_mask, C - jnp.arange(C, dtype=jnp.int32), 0)
+    val, idx = jax.lax.top_k(score, min(capacity, C))
+    idx = jnp.where(val > 0, idx, -1)
+    if capacity > C:
+        idx = jnp.pad(idx, (0, capacity - C), constant_values=-1)
+    return idx
+
+
+def build_candidate_indices(
+    key: jax.Array,
+    segmentation: jax.Array,
+    num_classes: int,
+    num_negatives: int,
+    capacity: int,
+) -> jax.Array:
+    """Reduced candidate set as a fixed-capacity gathered index list.
+
+    Same draw as :func:`build_candidate_mask` (identical key stream), in
+    the form the reference actually uses — an index list into the text
+    table (model.py:147-161) — emitted ascending and -1-padded to the
+    static ``capacity``.  Feed to ``DepthUNet.predict(candidate_indices=)``
+    to score S=capacity slots instead of all C classes.
+    """
+    mask = build_candidate_mask(key, segmentation, num_classes, num_negatives)
+    return candidate_indices_from_mask(mask, capacity)

@@ -76,7 +76,7 @@ def _topk_rows_per_block(H: int, W: int, C: int = 512):
     return best
 
 
-def _topk_kernel(emb_ref, text_ref, mask_ref, idx_ref, val_ref=None,
+def _topk_kernel(emb_ref, text_ref, mask_ref, ids_ref, idx_ref, val_ref=None,
                  *, top_k: int):
     emb = emb_ref[:]
     emb = emb.reshape(-1, emb.shape[-1])  # 4-D row blocks -> [TN, D]
@@ -101,17 +101,26 @@ def _topk_kernel(emb_ref, text_ref, mask_ref, idx_ref, val_ref=None,
     scores = jnp.where(mask_ref[:].reshape(-1, 1) != 0, scores, NEG_INF)
 
     C, TN = scores.shape
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (C, TN), dimension=0)
+    # Per-row output ids: arange(C) for full-table scoring, or the global
+    # candidate class ids for the gathered reduced-table form — the kernel
+    # then emits GLOBAL ids directly, replacing what would otherwise be a
+    # [N, k]-sized XLA gather remap downstream (measured 86 ms at the
+    # canonical predict config — 3x the whole kernel).  Ids must be
+    # ascending over rows (build_candidate_indices emits them so): then
+    # min-id tie-breaking == min-row tie-breaking == lax.top_k.
+    row_ids = ids_ref[:].reshape(-1, 1)
+    SENT = jnp.int32(2**31 - 1)
 
     def body(i, scores):
         m = jnp.max(scores, axis=0)  # [TN]
-        # argmax via masked min-index (ties -> smallest index, = lax.top_k)
+        # argmax via masked min-id (ties -> smallest id, = lax.top_k)
         is_max = scores >= m[None, :]
-        idx = jnp.min(jnp.where(is_max, row_ids, C), axis=0)
+        idx = jnp.min(jnp.where(is_max, row_ids, SENT), axis=0)
         idx_ref[i, :] = idx
         if val_ref is not None:
             val_ref[i, :] = m
-        # knock the winner out for the next pass
+        # knock the winner out for the next pass (-1 padding rows share an
+        # id, but they are all NEG_INF already, so a joint knockout is moot)
         return jnp.where(row_ids == idx[None, :], NEG_INF, scores)
 
     jax.lax.fori_loop(0, top_k, body, scores, unroll=True)
@@ -128,12 +137,19 @@ def fused_pixel_text_topk(
     tile_n: int = 512,
     interpret: bool = False,
     want_values: bool = True,
+    candidate_ids: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Args:
       pixel_embeddings: [N, D] or [B, H, W, D] (un-normalized; normalization
         is fused).  The 4-D form avoids the flat-view relayout.
       text_normalized: [C, D] L2-normalized text table.
       candidate_mask: [C] bool/int — True for classes in the candidate set.
+      candidate_ids: optional [C] int32 ASCENDING output id per table row
+        (for the gathered reduced-candidate form, where row i of the table
+        is global class ``candidate_ids[i]``); default arange(C).  The
+        kernel emits these ids directly — an XLA gather remap of the [N, k]
+        output costs ~86 ms at the canonical predict config, 3x the whole
+        kernel.
       top_k: number of labels per pixel.
       tile_n: pixels per grid step for the flat form (multiple of 8).
       want_values: emit the score values too.  ``False`` drops the second
@@ -189,6 +205,7 @@ def fused_pixel_text_topk(
             emb_spec,
             pl.BlockSpec((C, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -197,6 +214,8 @@ def fused_pixel_text_topk(
         pixel_embeddings,
         text_normalized.astype(pixel_embeddings.dtype),
         candidate_mask.astype(jnp.int32),
+        (jnp.arange(C, dtype=jnp.int32) if candidate_ids is None
+         else candidate_ids.astype(jnp.int32)),
     )
 
     # Public orientation stays [N, k]; under a downstream reduction (e.g.

@@ -57,6 +57,48 @@ def test_predict_respects_candidate_mask():
     assert m[np.asarray(topk).reshape(-1)].all()
 
 
+def test_predict_gathered_candidates_bit_match_masked():
+    """predict(candidate_indices=) gathers the reduced table (the
+    reference's own formulation, model.py:147-161) instead of masking the
+    full one; ascending slot order makes tie-breaking identical, so the
+    two paths must return bit-identical labels."""
+    from rangeclip_tpu.models.depth_unet import (
+        build_candidate_indices,
+        candidate_indices_from_mask,
+    )
+
+    model = _tiny_model()
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 1))
+    vars_ = model.init(jax.random.key(0), x, train=False)
+    C, D = 12, 32
+    text = jax.random.normal(jax.random.key(2), (C, D))
+    seg = jnp.zeros((2, 32, 32), jnp.int32).at[:, :16].set(3)
+
+    mask = build_candidate_mask(jax.random.key(3), seg, C, num_negatives=4)
+    ci = build_candidate_indices(jax.random.key(3), seg, C, 4, capacity=8)
+    # same draw as the mask, ascending, -1-padded
+    np.testing.assert_array_equal(
+        np.asarray(ci), np.asarray(candidate_indices_from_mask(mask, 8)))
+    m = np.asarray(mask)
+    assert (np.sort(np.asarray(ci)[np.asarray(ci) >= 0])
+            == np.nonzero(m)[0]).all()
+
+    topk_m, emb_m, _ = model.apply(
+        vars_, x, text, mask, 3, method=DepthUNet.predict)
+    topk_g, emb_g, _ = model.apply(
+        vars_, x, text, None, 3, method=DepthUNet.predict,
+        candidate_indices=ci)
+    np.testing.assert_array_equal(np.asarray(topk_m), np.asarray(topk_g))
+    np.testing.assert_array_equal(np.asarray(emb_m), np.asarray(emb_g))
+
+    # capacity larger than C pads with -1 and still matches
+    ci_big = candidate_indices_from_mask(mask, 16)
+    topk_b, _, _ = model.apply(
+        vars_, x, text, None, 3, method=DepthUNet.predict,
+        candidate_indices=ci_big)
+    np.testing.assert_array_equal(np.asarray(topk_m), np.asarray(topk_b))
+
+
 def test_train_step_runs_and_descends():
     model = _tiny_model()
     opt = make_optimizer(weight_decay=1e-4)

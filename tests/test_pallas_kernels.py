@@ -34,6 +34,24 @@ def test_fused_pixel_text_topk_matches_xla():
     # all selected classes are candidates
     assert mask[np.asarray(idx).reshape(-1)].all()
 
+    # gathered reduced-table form: table rows are the candidate classes,
+    # candidate_ids maps rows -> global ids in-kernel; labels must be
+    # bit-identical to the masked full-table call (ascending ids keep the
+    # tie-break order)
+    cand = np.flatnonzero(mask).astype(np.int32)  # ascending
+    S = 48  # padded capacity
+    ids = np.full(S, -1, np.int32)
+    ids[: len(cand)] = cand
+    sub = np.zeros((S, D), np.float32)
+    sub[: len(cand)] = text_n[cand]
+    idx_g, val_g = fused_pixel_text_topk(
+        jnp.asarray(emb), jnp.asarray(sub), jnp.asarray(ids >= 0),
+        top_k=K, tile_n=32, interpret=True, candidate_ids=jnp.asarray(ids),
+    )
+    np.testing.assert_array_equal(np.asarray(idx_g), np.asarray(want_idx))
+    np.testing.assert_allclose(np.asarray(val_g), np.asarray(want_val),
+                               rtol=1e-5, atol=1e-6)
+
 
 def test_fused_masked_pooling_matches_xla():
     from rangeclip_tpu.ops.pallas.masked_pooling import fused_masked_pooling

@@ -70,56 +70,57 @@ def cmd_throughput(args) -> None:
                 "ms_per_batch": round(1e3 * dt / args.iters, 3),
             })
 
-        if args.train_batch <= 0:
+        if not args.train_configs:
             continue
-        # train-step time (accum window of 8 microbatches)
-        opt = make_optimizer(1e-4)
-        state = create_train_state(jax.random.key(0), cfg, opt,
-                                   (args.train_batch, res, res, 1))
-        A, B = args.accum_steps, args.train_batch
-        rngnp = np.random.default_rng(0)
-        batch_data = {
-            "depth": rngnp.standard_normal((A, B, res, res, 1)).astype(np.float32),
-            "segmentation": rngnp.integers(0, 40, (A, B, res, res)).astype(np.int32),
-            "object_label": np.ones((A, B), np.int32),
-            "image_embeddings": rngnp.standard_normal((A, B, D)).astype(np.float32),
-            "sample_valid": np.ones((A, B), np.float32),
-        }
         text = jax.random.normal(jax.random.key(1), (C, D))
         med = jnp.zeros((C, C), bool)
+        opt = make_optimizer(1e-4)
+        # multiple (accum x microbatch) configs and samplers A/B within ONE
+        # process: tunnel throughput varies ~10x across processes,
+        # in-process comparisons don't
+        for config in args.train_configs:
+            A, B = (int(v) for v in config.split("x"))
+            state = create_train_state(jax.random.key(0), cfg, opt,
+                                       (B, res, res, 1))
+            rngnp = np.random.default_rng(0)
+            batch_data = {
+                "depth": rngnp.standard_normal((A, B, res, res, 1)).astype(np.float32),
+                "segmentation": rngnp.integers(0, 40, (A, B, res, res)).astype(np.int32),
+                "object_label": np.ones((A, B), np.int32),
+                "image_embeddings": rngnp.standard_normal((A, B, D)).astype(np.float32),
+                "sample_valid": np.ones((A, B), np.float32),
+            }
+            for sampler in args.pixel_sampler:
+                step = make_train_step(
+                    model, opt, HybridLossConfig(pixel_sampler=sampler),
+                    accum_steps=A,
+                )
 
-        # multiple samplers A/B within ONE process: tunnel throughput
-        # varies ~10x across processes, in-process comparisons don't
-        for sampler in args.pixel_sampler:
-            step = make_train_step(
-                model, opt, HybridLossConfig(pixel_sampler=sampler),
-                accum_steps=A,
-            )
+                def run_step(s):
+                    return step(s, batch_data, jax.random.key(5),
+                                jnp.float32(1e-4), jnp.float32(0.25),
+                                jnp.float32(0.5), text, med, med)
 
-            def run_step(s):
-                return step(s, batch_data, jax.random.key(5),
-                            jnp.float32(1e-4), jnp.float32(0.25),
-                            jnp.float32(0.5), text, med, med)
-
-            # fresh copy per sampler — the jitted step donates its state
-            # argument, so the original buffers die on first use
-            sstate, _ = run_step(jax.tree.map(jnp.copy, state))
-            jax.block_until_ready(sstate)
-            n = max(args.iters // 4, 2)
-            dt = float("inf")
-            for _ in range(args.rounds):
-                t0 = time.perf_counter()
-                for _ in range(n):
-                    sstate, info = run_step(sstate)
+                # fresh copy per config — the jitted step donates its state
+                # argument, so the original buffers die on first use
+                sstate, _ = run_step(jax.tree.map(jnp.copy, state))
                 jax.block_until_ready(sstate)
-                dt = min(dt, (time.perf_counter() - t0) / n)
-            results.append({
-                "mode": "train_step", "precision": "bf16" if bf16 else "fp32",
-                "pixel_sampler": sampler,
-                "accum": A, "microbatch": B, "resolution": res,
-                "s_per_step": round(dt, 4),
-                "maps_per_sec": round(A * B / dt, 2),
-            })
+                n = max(args.iters // 4, 2)
+                dt = float("inf")
+                for _ in range(args.rounds):
+                    t0 = time.perf_counter()
+                    for _ in range(n):
+                        sstate, info = run_step(sstate)
+                    jax.block_until_ready(sstate)
+                    dt = min(dt, (time.perf_counter() - t0) / n)
+                results.append({
+                    "mode": "train_step",
+                    "precision": "bf16" if bf16 else "fp32",
+                    "pixel_sampler": sampler,
+                    "accum": A, "microbatch": B, "resolution": res,
+                    "s_per_step": round(dt, 4),
+                    "maps_per_sec": round(A * B / dt, 2),
+                })
 
     for r in results:
         print(json.dumps(r))
@@ -264,13 +265,16 @@ def main(argv=None) -> None:
                    help="Backbone: ResNet-18 UNet (flagship) or the "
                         "SegFormer-style MiT encoder (the 512^2 "
                         "streaming-inference stretch config).")
-    t.add_argument("--batch_sizes", nargs="+", type=int, default=[1, 8, 32])
-    t.add_argument("--train_batch", type=int, default=8)
-    t.add_argument("--accum_steps", type=int, default=8,
-                   help="Gradient-accumulation microbatches per optimizer "
-                        "step.  The reference's 8 is a GPU-memory artifact; "
-                        "on TPU accum 1 x a bigger microbatch is the same "
-                        "summed gradient with better MXU occupancy.")
+    t.add_argument("--batch_sizes", nargs="*", type=int, default=[1, 8, 32])
+    t.add_argument("--train_configs", nargs="*", default=["8x4"],
+                   metavar="AxB",
+                   help="Gradient-accumulation train-step configs as "
+                        "'<accum>x<microbatch>' (e.g. 8x4 1x32), A/B'd "
+                        "within one process.  The reference's accum 8 is a "
+                        "GPU-memory artifact; on TPU accum 1 x a bigger "
+                        "microbatch does the same optimizer-step work with "
+                        "better occupancy (BN stats then span the full "
+                        "batch — a documented, usually favorable change).")
     t.add_argument("--num_classes", type=int, default=512)
     t.add_argument("--iters", type=int, default=20)
     t.add_argument("--rounds", type=int, default=3)

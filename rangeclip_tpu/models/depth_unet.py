@@ -373,6 +373,94 @@ def predict_topk_fused(
     return topk_indices
 
 
+def predict_folded(
+    model: DepthUNet,
+    variables,
+    depth: jax.Array,
+    candidate_text_embeddings: jax.Array,
+    candidate_mask: Optional[jax.Array] = None,
+    top_k: int = 5,
+    candidate_indices: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Labels-only predict with the output conv FOLDED into the scoring.
+
+    The segmentation head is ``topk_c(normalize(conv3x3(x, W)) . t_c)``
+    (reference decoder.py:75-82 + model.py:161-169).  Two algebraic facts
+    make the [B, h, w, D] embedding field unnecessary when only labels are
+    wanted:
+
+      * the conv is bias-free and linear, so the pixel-candidate score
+        distributes over it:  conv(x, W) . t_c == conv(x, W @ t_c) — one
+        offline contraction ``W' = einsum('hwid,sd->hwis', W, T_norm)``
+        turns the conv-to-D plus the [D, S] scoring matmul into a single
+        conv straight to the S candidate scores;
+      * the per-pixel L2 normalization divides every candidate's score by
+        the same positive scalar, so it cannot change the top-k ORDER —
+        for labels it is skipped outright.
+
+    Versus the default predict path this removes the [B, h, w, 512] bf16
+    field (2.1 GB at the bench config) from HBM entirely and cuts the
+    head's matmul FLOPs ~3x (9*Cin*S vs 9*Cin*D + D*S per pixel); the
+    conv runs in XLA at full K=9*Cin im2col MXU occupancy — precisely
+    what the all-Pallas fused head (head_topk.py, kept as the measured
+    negative result) could not reach with its nine K=Cin matmuls.
+
+    Exactness: identical ranking in exact arithmetic (proved bit-equal
+    under float64 in tests); in finite precision the two paths round
+    differently, so labels may differ on near-ties — in bf16 the folded
+    path is the BETTER-conditioned one (a single bf16 rounding of W'
+    against the default path's bf16 roundings of both the 512-dim field
+    and the text table).
+
+    Returns topk indices [B, H, W, k] i32 in the global label space.
+    """
+    from rangeclip_tpu.ops.pallas.score_topk import fused_score_topk
+
+    if depth.ndim == 3:
+        depth = depth[..., None]
+    target_shape = depth.shape[1:3]
+    features = model.apply(variables, depth, method=DepthUNet.decode_features)
+    B, h, w, _ = features.shape
+    W = variables["params"]["depth_decoder"]["output_conv"]["conv"]["kernel"]
+
+    if candidate_indices is not None:
+        table = candidate_text_embeddings[jnp.maximum(candidate_indices, 0)]
+        ids = candidate_indices.astype(jnp.int32)
+    else:
+        table = candidate_text_embeddings
+        C = table.shape[0]
+        ids = jnp.arange(C, dtype=jnp.int32)
+        if candidate_mask is not None:
+            ids = jnp.where(candidate_mask, ids, -1)
+    text = l2_normalize(table.astype(jnp.float32), axis=-1)
+    folded = jnp.einsum(
+        "hwid,sd->hwis", W.astype(jnp.float32), text,
+        preferred_element_type=jnp.float32,
+    ).astype(features.dtype)
+
+    scores = jax.lax.conv_general_dilated(
+        features, folded, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+    if use_tpu_kernels() or interpret:
+        # Free logical transpose of the conv's {3,0,2,1} output layout —
+        # same trick as the default predict path.
+        field_t = jnp.transpose(scores, (1, 2, 0, 3))
+        idx, _ = fused_score_topk(field_t, ids, top_k=top_k,
+                                  interpret=interpret)
+        topk_indices = idx.reshape(h, w, B, top_k).transpose(2, 0, 1, 3)
+    else:
+        masked = jnp.where(ids >= 0, scores.astype(jnp.float32), NEG_INF)
+        _, slot = jax.lax.top_k(masked, top_k)
+        topk_indices = jnp.take(ids, slot, axis=0)
+
+    if (h, w) != target_shape:
+        topk_indices = resize_nearest(topk_indices, target_shape)
+    return topk_indices
+
+
 def build_candidate_mask(
     key: jax.Array,
     segmentation: jax.Array,

@@ -1,0 +1,173 @@
+"""Masked top-k selection over a precomputed pixel x candidate score field.
+
+Companion to ops/pallas/pixel_text_topk.py for the FOLDED segmentation
+head (models/depth_unet.py predict_folded): there the 3x3 output conv's
+weights are contracted with the candidate text table offline, so an XLA
+conv emits the [B, h, w, S] candidate-score field directly — at full
+K=9*C_in im2col MXU occupancy — and all that remains on the device is
+this kernel: mask invalid slots, take top-k over the S lanes, and emit
+GLOBAL class ids (reference model.py:167-173's index map, done in-kernel
+for the same reason as pixel_text_topk: an XLA [N, k] gather remap of the
+output costs ~3x the whole selection).
+
+Orientation: scores arrive pixel-major with S on lanes (the conv's
+natural minor dim), so unlike pixel_text_topk's class-major sublane
+reductions, the top-k reductions here run over LANES and each emitted
+[TN] row is sublane-oriented; Mosaic relayouts it on store into the
+[k, N] output (k rows of N pixels — the [N, k] orientation would
+lane-pad k->128, the round-2 lesson).  Selection casts stored scores to
+f32 (bf16->f32 is injective and monotone, so the order — including
+ties — is exactly that of the stored bf16 values; Mosaic also rejects
+sub-f32 comparisons outright: "Target does not support this
+comparison").  Ids are i32; ties break to the smallest id exactly like
+lax.top_k over ascending-id slots.
+
+Mosaic layout lesson (cost a compile failure on-chip that interpret
+mode cannot catch): ``jnp.where(is_max, ids, SENT)`` with a [1, S]
+``ids`` makes layout inference try to relayout the materialized i1 mask
+into ids' SUBLANE-REPLICATED layout — "Invalid relayout: non-singleton
+logical dimension is replicated in destination but not in source".
+The argmax here is therefore arithmetic: penalize non-max slots by a
+large id offset and lane-min the keys (no mixed-replication ``where``).
+pixel_text_topk's class-major kernel never hits this because its ids
+are [C, 1] — LANE-replicated — which Mosaic handles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _select_kernel(scores_ref, ids_ref, idx_ref, val_ref=None, *, top_k: int):
+    scores = scores_ref[:]
+    scores = scores.reshape(-1, scores.shape[-1])  # 4-D row blocks -> [TN, S]
+    S = scores.shape[-1]
+    ids = ids_ref[:].reshape(1, S)
+    neg = jnp.float32(NEG_INF)
+    scores = jnp.where(ids >= 0, scores.astype(jnp.float32), neg)
+    # non-max penalty dominates any real id (< 2^24 classes) without
+    # overflowing i32 when added to one
+    BIG = jnp.int32(1 << 24)
+
+    def body(i, scores):
+        m = jnp.max(scores, axis=1)  # [TN] lane reduction
+        # argmax as arithmetic min-key (ties -> smallest id, = lax.top_k
+        # over ascending-id slots); see module docstring for why not
+        # where(is_max, ids, SENT)
+        not_max = (scores < m[:, None]).astype(jnp.int32)
+        idx = jnp.min(ids + not_max * BIG, axis=1)
+        idx_ref[i, :] = idx
+        if val_ref is not None:
+            val_ref[i, :] = m
+        # knock the winner out for the next pass
+        return jnp.where(ids == idx[:, None], neg, scores)
+
+    jax.lax.fori_loop(0, top_k, body, scores, unroll=True)
+
+
+# Per-tile element budget rows*S: the selection working set is ~4.6 B/elem
+# (f32 scores + live i32 keys under the unrolled loop + double-buffered
+# bf16 input); 768Ki elems measured ~9.5 MB scoped VMEM of the 16 MB
+# limit (4096x384 OOM'd at 19 MB on v5e).
+_TILE_ELEMS = 768 * 1024
+
+
+def _tile_axis(axis: int, inner: int, limit: int = _TILE_ELEMS):
+    """Largest divisor t of ``axis`` with t*inner <= limit (per-grid-step
+    overhead is real — round-2 lesson: pick the LARGEST valid tile)."""
+    best = 1
+    for t in range(1, axis + 1):
+        if axis % t == 0 and t * inner <= limit:
+            best = t
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("top_k", "want_values", "interpret")
+)
+def fused_score_topk(
+    scores: jax.Array,
+    candidate_ids: Optional[jax.Array] = None,
+    top_k: int = 5,
+    want_values: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Args:
+      scores: [N, S] or [h, w, B, S] pixel x candidate-slot scores (any
+        float dtype; selection compares stored values).  The 4-D form is
+        the free logical transpose of a conv's [B, h, w, S] output (layout
+        {3,0,2,1}) — same trick as pixel_text_topk.
+      candidate_ids: [S] i32 ASCENDING global class id per slot, -1 for
+        invalid (masked) slots; default arange(S) (all valid).
+      top_k: labels per pixel.
+      want_values: also emit the winning score values (f32).
+
+    Returns: (indices [N, k] i32 of GLOBAL class ids, values [N, k] f32 or
+      None).  Like pixel_text_topk, outputs are computed [k, N] internally;
+      the public [N, k] transpose is elided by XLA under reductions.
+    """
+    S = scores.shape[-1]
+    if S % 128:
+        raise ValueError(f"slot count {S} must be a lane multiple (128)")
+    lead = scores.shape[:-1]
+    N = 1
+    for d in lead:
+        N *= d
+
+    if candidate_ids is None:
+        candidate_ids = jnp.arange(S, dtype=jnp.int32)
+
+    if scores.ndim == 4:
+        h, w, B, _ = scores.shape
+        wt = _tile_axis(w, B * S)
+        if wt * B < 8:
+            raise ValueError(f"row tile {wt}x{B} below the sublane minimum")
+        grid = (h, w // wt)
+        block = (1, wt, B, S)
+        in_map = lambda i, j: (i, j, 0, 0)
+        out_map = lambda i, j: (0, i * (w // wt) + j)
+        tn = wt * B
+    else:
+        scores = scores.reshape(N, S)
+        tn = _tile_axis(N, S)
+        grid = (N // tn,)
+        block = (tn, S)
+        in_map = lambda i: (i, 0)
+        out_map = lambda i: (0, i)
+
+    out_shape = [jax.ShapeDtypeStruct((top_k, N), jnp.int32)]
+    out_specs = [
+        pl.BlockSpec((top_k, tn), out_map, memory_space=pltpu.VMEM)
+    ]
+    if want_values:
+        out_shape.append(jax.ShapeDtypeStruct((top_k, N), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((top_k, tn), out_map, memory_space=pltpu.VMEM)
+        )
+
+    nargs = len(grid)
+    ids_map = (lambda i: (0,)) if nargs == 1 else (lambda i, j: (0,))
+    kernel = functools.partial(_select_kernel, top_k=top_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(block, in_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S,), ids_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(scores, candidate_ids.astype(jnp.int32))
+
+    idx = out[0].T
+    val = out[1].T if want_values else None
+    return idx, val

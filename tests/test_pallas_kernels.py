@@ -330,3 +330,128 @@ def test_large_class_count_tiles_shrink_and_match():
     assert (np.asarray(idx) == np.asarray(ref_idx)).mean() > 0.95
     np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_score_topk_matches_lax():
+    """score_topk.py (the folded-head selector): masked lane top-k with
+    in-kernel global-id remap == lax.top_k over masked scores + take."""
+    from rangeclip_tpu.ops.pallas.score_topk import fused_score_topk
+
+    rng = np.random.default_rng(21)
+    N, S, K = 64, 128, 5
+    scores = jnp.asarray(rng.standard_normal((N, S)), jnp.float32)
+    # ascending global ids with trailing -1 padding (the
+    # build_candidate_indices contract)
+    n_valid = 90
+    ids = np.full(S, -1, np.int32)
+    ids[:n_valid] = np.sort(rng.choice(500, n_valid, replace=False))
+    ids = jnp.asarray(ids)
+
+    idx, val = fused_score_topk(scores, ids, top_k=K, want_values=True,
+                                interpret=True)
+
+    masked = jnp.where(ids[None, :] >= 0, scores, -1e30)
+    ref_val, ref_slot = jax.lax.top_k(masked, K)
+    ref_idx = jnp.take(ids, ref_slot, axis=0)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val),
+                               rtol=1e-6, atol=1e-7)
+
+    # default ids = arange (all valid)
+    idx2, _ = fused_score_topk(scores, top_k=K, interpret=True)
+    _, ref_slot2 = jax.lax.top_k(scores, K)
+    np.testing.assert_array_equal(np.asarray(idx2), np.asarray(ref_slot2))
+
+
+def test_fused_score_topk_ties_and_overflow():
+    """Duplicate scores break ties to the smallest id; top_k larger than
+    the valid-slot count yields -1 fills, matching the XLA remap path."""
+    from rangeclip_tpu.ops.pallas.score_topk import fused_score_topk
+
+    S = 128
+    ids = np.full(S, -1, np.int32)
+    ids[:3] = [4, 7, 9]
+    row = np.full(S, 0.5, np.float32)
+    row[:3] = [2.0, 2.0, 1.0]  # tie between ids 4 and 7
+    scores = jnp.asarray(np.tile(row, (8, 1)))
+    ids = jnp.asarray(ids)
+
+    idx, _ = fused_score_topk(scores, ids, top_k=5, interpret=True)
+    masked = jnp.where(ids[None, :] >= 0, scores, -1e30)
+    _, ref_slot = jax.lax.top_k(masked, 5)
+    ref_idx = jnp.take(ids, ref_slot, axis=0)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    assert np.asarray(idx)[0, :3].tolist() == [4, 7, 9]
+    assert (np.asarray(idx)[:, 3:] == -1).all()
+
+
+def test_fused_score_topk_4d_matches_2d():
+    """The conv-layout [h, w, B, S] form selects identically to the flat
+    [N, S] form (free logical transpose trick)."""
+    from rangeclip_tpu.ops.pallas.score_topk import fused_score_topk
+
+    rng = np.random.default_rng(22)
+    h, w, B, S = 4, 8, 4, 128
+    field = jnp.asarray(rng.standard_normal((h, w, B, S)), jnp.bfloat16)
+    ids = jnp.asarray(np.arange(S, dtype=np.int32))
+
+    idx4, val4 = fused_score_topk(field, ids, top_k=3, want_values=True,
+                                  interpret=True)
+    idx2, val2 = fused_score_topk(field.reshape(-1, S), ids, top_k=3,
+                                  want_values=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx4), np.asarray(idx2))
+    np.testing.assert_array_equal(np.asarray(val4), np.asarray(val2))
+
+
+def test_predict_folded_matches_predict():
+    """predict_folded (output conv contracted with the text table, no
+    normalization) ranks identically to DepthUNet.predict — same labels
+    everywhere the score margin exceeds fp32 cross-path rounding."""
+    from rangeclip_tpu.models.depth_unet import (
+        DepthUNet, DepthUNetConfig, build_candidate_indices, predict_folded,
+    )
+    from rangeclip_tpu.utils.math import l2_normalize as l2n
+
+    cfg = DepthUNetConfig(
+        encoder_filters=(8, 16, 16, 16, 32), embedding_dim=32,
+        use_batch_norm=True,
+    )
+    model = DepthUNet(cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 1))
+    vars_ = model.init(jax.random.key(0), x, train=False)
+    C, K = 128, 5
+    text = jax.random.normal(jax.random.key(2), (C, 32))
+    seg = jax.random.randint(jax.random.key(3), (2, 32, 32), 0, 6)
+    cand = build_candidate_indices(jax.random.key(4), seg, C, 40,
+                                   capacity=128)
+
+    want, emb, _ = model.apply(
+        vars_, x, text, None, K, method=DepthUNet.predict, scoring="xla",
+        candidate_indices=cand,
+    )
+    for interpret in (False, True):  # XLA fallback branch + Pallas kernel
+        got = predict_folded(model, vars_, x, text, top_k=K,
+                             candidate_indices=cand, interpret=interpret)
+        assert got.shape == want.shape == (2, 32, 32, K)
+        agree = (np.asarray(got) == np.asarray(want))
+        # cross-path fp32 rounding may flip exact near-ties only: wherever
+        # labels differ, the two classes' default-path scores must be equal
+        # to within rounding
+        if not agree.all():
+            logits = jnp.einsum(
+                "bhwd,cd->bhwc", emb.astype(jnp.float32),
+                l2n(text.astype(jnp.float32), axis=-1),
+            )
+            g = np.take_along_axis(np.asarray(logits), np.asarray(got), -1)
+            w_ = np.take_along_axis(np.asarray(logits), np.asarray(want), -1)
+            np.testing.assert_allclose(g[~agree], w_[~agree], atol=1e-5)
+            assert agree.mean() > 0.99
+    # full-table (mask-free) form
+    got_full = predict_folded(model, vars_, x, text, top_k=K,
+                              interpret=True)
+    want_full, _, _ = model.apply(
+        vars_, x, text, jnp.ones(C, bool), K, method=DepthUNet.predict,
+        scoring="xla",
+    )
+    agree = (np.asarray(got_full) == np.asarray(want_full)).mean()
+    assert agree > 0.99

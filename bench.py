@@ -9,6 +9,16 @@ decoder's native H/2 resolution with the top-k indices nearest-upsampled —
 proven exactly equal to full-resolution scoring
 (tests/test_model_and_train.py::test_predict_native_scoring_identity).
 
+Default path: the FOLDED head (models/depth_unet.py predict_folded) — the
+bias-free output conv is contracted with the normalized candidate table so
+the conv scores candidates directly ([B,h,w,384] instead of a [B,h,w,512]
+embedding field plus a scoring matmul; identical ranking, proven in tests)
+and ops/pallas/score_topk.py selects the labels.  Measured on-device:
+head 15.4 -> 9.5 ms at batch 128 (selection 6.1 + folded conv 3.4), ~10%
+end-to-end.  BENCH_PREDICT=default times the unfolded predict path
+(bf16 near-ties round differently between the two, so their checksums
+differ; each is deterministic and cross-round-stable).
+
 The measurement cannot be satisfied without real execution:
   * every iteration's top-k output is folded into a device-side scalar
     checksum, and each timing round ends by fetching that scalar to host —
@@ -88,7 +98,10 @@ def main() -> None:
         DepthUNet,
         DepthUNetConfig,
         build_candidate_indices,
+        predict_folded,
     )
+
+    folded = os.environ.get("BENCH_PREDICT", "folded") == "folded"
 
     cfg = DepthUNetConfig(use_batch_norm=True, dtype=jnp.bfloat16)
     model = DepthUNet(cfg)
@@ -121,11 +134,15 @@ def main() -> None:
 
     @jax.jit
     def predict(variables, depth, text, cand):
-        topk, _, _ = model.apply(
-            variables, depth, text, None, TOP_K,
-            method=DepthUNet.predict, return_embeddings=False,
-            candidate_indices=cand,
-        )
+        if folded:
+            topk = predict_folded(model, variables, depth, text, top_k=TOP_K,
+                                  candidate_indices=cand)
+        else:
+            topk, _, _ = model.apply(
+                variables, depth, text, None, TOP_K,
+                method=DepthUNet.predict, return_embeddings=False,
+                candidate_indices=cand,
+            )
         # Scalar checksum over the full [B, H, W, k] label field: fetching it
         # forces every upstream program to have really executed.  The 1-D
         # view keeps the reduction off the (8,128)-padded [N, 5] layout

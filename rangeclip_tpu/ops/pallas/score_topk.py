@@ -11,26 +11,32 @@ for the same reason as pixel_text_topk: an XLA [N, k] gather remap of the
 output costs ~3x the whole selection).
 
 Orientation: scores arrive pixel-major with S on lanes (the conv's
-natural minor dim), so unlike pixel_text_topk's class-major sublane
-reductions, the top-k reductions here run over LANES and each emitted
-[TN] row is sublane-oriented; Mosaic relayouts it on store into the
-[k, N] output (k rows of N pixels — the [N, k] orientation would
-lane-pad k->128, the round-2 lesson).  Selection casts stored scores to
-f32 (bf16->f32 is injective and monotone, so the order — including
-ties — is exactly that of the stored bf16 values; Mosaic also rejects
-sub-f32 comparisons outright: "Target does not support this
-comparison").  Ids are i32; ties break to the smallest id exactly like
-lax.top_k over ascending-id slots.
+natural minor dim), but selecting in that orientation is the measured
+WRONG choice — each tile is instead transposed in-register to
+class-major [S, TN] and selected with sublane reductions, emitting
+lane-oriented [TN] rows straight into the [k, N] output (k rows of N
+pixels — the [N, k] orientation would lane-pad k->128, the round-2
+lesson).  Selection casts stored scores to f32 (bf16->f32 is injective
+and monotone, so the order — including ties — is exactly that of the
+stored bf16 values; Mosaic also rejects sub-f32 comparisons outright:
+"Target does not support this comparison").  Ids are i32; ties break to
+the smallest id exactly like lax.top_k over ascending-id slots.
 
-Mosaic layout lesson (cost a compile failure on-chip that interpret
-mode cannot catch): ``jnp.where(is_max, ids, SENT)`` with a [1, S]
-``ids`` makes layout inference try to relayout the materialized i1 mask
-into ids' SUBLANE-REPLICATED layout — "Invalid relayout: non-singleton
-logical dimension is replicated in destination but not in source".
-The argmax here is therefore arithmetic: penalize non-max slots by a
-large id offset and lane-min the keys (no mixed-replication ``where``).
-pixel_text_topk's class-major kernel never hits this because its ids
-are [C, 1] — LANE-replicated — which Mosaic handles.
+Measured dead ends at the bench scale (N=2.1M, S=384 — don't re-learn):
+
+  * Lane-minor selection (reduce over the S lanes per pass, as the data
+    arrives): 65 ms vs 9.9 ms for transpose-then-sublane — five passes
+    of cross-lane max/min cost far more than one in-register transpose.
+  * ``jnp.where(is_max, ids, SENT)`` with SUBLANE-replicated [1, S] ids
+    fails to compile on-chip (interpret mode cannot catch it): "Invalid
+    relayout: non-singleton logical dimension is replicated in
+    destination but not in source" for the i1 mask.  Lane-replicated
+    [S, 1] ids (the pixel_text_topk pattern, used here post-transpose)
+    lay out fine; the lane-minor variant needed an arithmetic min-key
+    argmax (penalize non-max slots by a large id offset) to compile.
+  * A 4096-row tile OOMs scoped VMEM (19 MB > 16 MB) once the f32
+    working set and the unrolled knockout loop are accounted —
+    _TILE_ELEMS budgets rows*S instead.
 """
 
 from __future__ import annotations
@@ -50,25 +56,30 @@ def _select_kernel(scores_ref, ids_ref, idx_ref, val_ref=None, *, top_k: int):
     scores = scores_ref[:]
     scores = scores.reshape(-1, scores.shape[-1])  # 4-D row blocks -> [TN, S]
     S = scores.shape[-1]
-    ids = ids_ref[:].reshape(1, S)
+    # Transpose each tile to CLASS-MAJOR [S, TN] and select with sublane
+    # reductions + lane-replicated [S, 1] ids — the pixel_text_topk
+    # formulation.  Measured at the bench scale (N=2.1M, S=384, TN=2048):
+    # 9.9 ms, vs 65 ms selecting in the arriving lane-minor orientation
+    # (cross-lane max/min over S lanes per pass; the in-register transpose
+    # is 6.6x cheaper than lane-reducing five times).
+    ids = ids_ref[:].reshape(S, 1)
     neg = jnp.float32(NEG_INF)
-    scores = jnp.where(ids >= 0, scores.astype(jnp.float32), neg)
-    # non-max penalty dominates any real id (< 2^24 classes) without
-    # overflowing i32 when added to one
-    BIG = jnp.int32(1 << 24)
+    scores = scores.astype(jnp.float32).T
+    scores = jnp.where(ids >= 0, scores, neg)
+    SENT = jnp.int32(2**31 - 1)
 
     def body(i, scores):
-        m = jnp.max(scores, axis=1)  # [TN] lane reduction
-        # argmax as arithmetic min-key (ties -> smallest id, = lax.top_k
-        # over ascending-id slots); see module docstring for why not
-        # where(is_max, ids, SENT)
-        not_max = (scores < m[:, None]).astype(jnp.int32)
-        idx = jnp.min(ids + not_max * BIG, axis=1)
+        m = jnp.max(scores, axis=0)  # [TN] sublane reduction
+        # argmax via masked min-id (ties -> smallest id, = lax.top_k over
+        # ascending-id slots); lane-replicated ids keep Mosaic's layout
+        # inference happy — see module docstring
+        is_max = scores >= m[None, :]
+        idx = jnp.min(jnp.where(is_max, ids, SENT), axis=0)
         idx_ref[i, :] = idx
         if val_ref is not None:
             val_ref[i, :] = m
         # knock the winner out for the next pass
-        return jnp.where(ids == idx[:, None], neg, scores)
+        return jnp.where(ids == idx[None, :], neg, scores)
 
     jax.lax.fori_loop(0, top_k, body, scores, unroll=True)
 

@@ -433,6 +433,12 @@ def predict_folded(
         ids = jnp.arange(C, dtype=jnp.int32)
         if candidate_mask is not None:
             ids = jnp.where(candidate_mask, ids, -1)
+    if (use_tpu_kernels() or interpret) and table.shape[0] % 128:
+        # round the slot count up to a lane multiple for the kernel; the
+        # pad rows are id -1 (masked in-kernel) so they never win
+        pad = 128 - table.shape[0] % 128
+        table = jnp.pad(table, ((0, pad), (0, 0)))
+        ids = jnp.pad(ids, (0, pad), constant_values=-1)
     text = l2_normalize(table.astype(jnp.float32), axis=-1)
     folded = jnp.einsum(
         "hwid,sd->hwis", W.astype(jnp.float32), text,

@@ -455,3 +455,12 @@ def test_predict_folded_matches_predict():
     )
     agree = (np.asarray(got_full) == np.asarray(want_full)).mean()
     assert agree > 0.99
+    # non-lane-multiple class count: the kernel path pads slots with -1
+    # ids internally (open-set CLIs pass arbitrary label-CSV sizes)
+    got_odd = predict_folded(model, vars_, x, text[:100], top_k=K,
+                             interpret=True)
+    want_odd, _, _ = model.apply(
+        vars_, x, text[:100], jnp.ones(100, bool), K,
+        method=DepthUNet.predict, scoring="xla",
+    )
+    assert (np.asarray(got_odd) == np.asarray(want_odd)).mean() > 0.99

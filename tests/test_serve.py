@@ -47,6 +47,7 @@ def test_serve_end_to_end(tmp_path):
             checkpoint_dir=ckpt_dir, labels_path=data["labels"],
             batch_size=2, height=32, width=32, top_k=5, embedding_dim=32,
             unet_architecture="resnet", bf16=False,
+            predict_path="folded",
             clip_checkpoint_path=None, clip_vocab_path=None,
             clip_merges_path=None,
         )

@@ -381,6 +381,9 @@ def predict_folded(
     candidate_mask: Optional[jax.Array] = None,
     top_k: int = 5,
     candidate_indices: Optional[jax.Array] = None,
+    candidate_ids: Optional[jax.Array] = None,
+    want_values: bool = False,
+    upsample: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """Labels-only predict with the output conv FOLDED into the scoring.
@@ -413,7 +416,17 @@ def predict_folded(
     against the default path's bf16 roundings of both the 512-dim field
     and the text table).
 
-    Returns topk indices [B, H, W, k] i32 in the global label space.
+    Args beyond `predict`'s: ``candidate_ids`` says the table rows ARE the
+    candidate set already — [S] ascending global class ids, -1 for dead
+    rows (the class-sharded path, parallel/predict.py, passes each
+    device's table slice this way).  ``want_values`` also returns the
+    winning scores (f32, un-normalized — comparable across class shards
+    but NOT to `predict`'s normalized logits).  ``upsample=False`` skips
+    the final nearest-upsample and returns native-resolution indices.
+
+    Returns topk indices [B, H, W, k] i32 in the global label space
+    (native [B, h, w, k] when ``upsample=False``); with ``want_values``,
+    an ``(indices, values)`` tuple.
     """
     from rangeclip_tpu.ops.pallas.score_topk import fused_score_topk
 
@@ -424,7 +437,10 @@ def predict_folded(
     B, h, w, _ = features.shape
     W = variables["params"]["depth_decoder"]["output_conv"]["conv"]["kernel"]
 
-    if candidate_indices is not None:
+    if candidate_ids is not None:
+        table = candidate_text_embeddings
+        ids = candidate_ids.astype(jnp.int32)
+    elif candidate_indices is not None:
         table = candidate_text_embeddings[jnp.maximum(candidate_indices, 0)]
         ids = candidate_indices.astype(jnp.int32)
     else:
@@ -454,16 +470,23 @@ def predict_folded(
         # Free logical transpose of the conv's {3,0,2,1} output layout —
         # same trick as the default predict path.
         field_t = jnp.transpose(scores, (1, 2, 0, 3))
-        idx, _ = fused_score_topk(field_t, ids, top_k=top_k,
-                                  interpret=interpret)
+        idx, val = fused_score_topk(field_t, ids, top_k=top_k,
+                                    want_values=want_values,
+                                    interpret=interpret)
         topk_indices = idx.reshape(h, w, B, top_k).transpose(2, 0, 1, 3)
+        if want_values:
+            topk_values = val.reshape(h, w, B, top_k).transpose(2, 0, 1, 3)
     else:
         masked = jnp.where(ids >= 0, scores.astype(jnp.float32), NEG_INF)
-        _, slot = jax.lax.top_k(masked, top_k)
+        topk_values, slot = jax.lax.top_k(masked, top_k)
         topk_indices = jnp.take(ids, slot, axis=0)
 
-    if (h, w) != target_shape:
+    if upsample and (h, w) != target_shape:
         topk_indices = resize_nearest(topk_indices, target_shape)
+        if want_values:
+            topk_values = resize_nearest(topk_values, target_shape)
+    if want_values:
+        return topk_indices, topk_values
     return topk_indices
 
 

@@ -1,0 +1,124 @@
+"""Multi-chip inference: data-parallel + class-sharded predict.
+
+The training mesh (mesh.py) scales the LOSS over devices; this module
+scales `predict` — the serving path — with the same two axes:
+
+  * 'data': the batch dimension.  Each device runs the full UNet forward
+    and scores only its batch shard; no cross-device communication at
+    all on this axis.
+  * 'model': the candidate-table rows (class axis).  Each device folds
+    ONLY its [S/p, D] slice of the table into the output conv
+    (depth_unet.predict_folded with ``candidate_ids``), selects a local
+    top-k WITH values, and the per-pixel winners are merged exactly via
+    one k-sized ``all_gather`` over 'model' + a two-key sort.  This is
+    the TPU-shaped version of scaling the reference's predict
+    (model.py:119-175) past one device's HBM: the [N, S] score field
+    never exists anywhere in full, only [N, S/p] slices.
+
+Merge exactness: every shard's candidate ids are an ascending contiguous
+block, local selection tie-breaks to the smallest id (score_topk /
+lax.top_k over ascending slots), and the merge sorts gathered (value,
+id) pairs by (-value, id) — two-key ``lax.sort`` — so cross-shard ties
+also resolve to the smallest global id.  The composite is therefore
+BIT-IDENTICAL to single-device `predict_folded` over the full table
+(tests/test_parallel.py::test_sharded_predict_matches_single_device).
+
+The UNet forward is deliberately recomputed in every 'model' column
+(parameters are replicated): for the class counts where sharding the
+table matters (NYUv2-transfer C in the thousands), scoring dominates the
+forward, and duplicating the forward costs less than all-gathering the
+[B, h, w, D] feature field across columns would.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rangeclip_tpu.models.depth_unet import (
+    DepthUNet,
+    predict_folded,
+    resize_nearest,
+)
+from rangeclip_tpu.utils.platform import use_tpu_kernels
+
+
+def pad_class_table(
+    table: jax.Array, n_model: int, lane_multiple: Optional[bool] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Pad a [C, D] candidate table so the class axis splits evenly over
+    ``n_model`` shards (each slice a 128-lane multiple on TPU), and build
+    the matching [C_pad] global-id vector (-1 on pad rows).
+
+    Returns (padded_table, ids).
+    """
+    C = table.shape[0]
+    quantum = 128 if (lane_multiple if lane_multiple is not None
+                      else use_tpu_kernels()) else 8
+    per = -(-C // n_model)
+    per = -(-per // quantum) * quantum
+    total = per * n_model
+    ids = jnp.arange(C, dtype=jnp.int32)
+    if total != C:
+        table = jnp.pad(table, ((0, total - C), (0, 0)))
+        ids = jnp.pad(ids, (0, total - C), constant_values=-1)
+    return table, ids
+
+
+def make_sharded_predict(
+    model: DepthUNet,
+    mesh: Mesh,
+    top_k: int = 5,
+    interpret: bool = False,
+):
+    """Build a jitted ``fn(variables, depth, table, ids) -> topk`` running
+    `predict_folded` over the mesh: batch sharded on 'data', table rows on
+    'model' (pad with :func:`pad_class_table` first), params replicated.
+
+    ``depth`` is [B, H, W, 1] with B divisible by the 'data' axis size;
+    returns [B, H, W, top_k] global label ids, bit-identical to the
+    single-device folded predict.
+    """
+    n_model = dict(mesh.shape).get("model", 1)
+
+    def local_predict(variables, depth, table_slice, ids_slice):
+        idx, val = predict_folded(
+            model, variables, depth, table_slice,
+            candidate_ids=ids_slice, top_k=top_k, want_values=True,
+            upsample=False, interpret=interpret,
+        )
+        if n_model > 1:
+            # [B, h, w, P*k] candidate winners per pixel; one small
+            # collective rides the ICI per predict call
+            val = jax.lax.all_gather(val, "model", axis=-1, tiled=True)
+            idx = jax.lax.all_gather(idx, "model", axis=-1, tiled=True)
+            # exact merge: ascending (-value, id) == (value desc, id asc),
+            # the same order lax.top_k over the full ascending table yields
+            _, idx = jax.lax.sort((-val, idx), dimension=-1, num_keys=2)
+            idx = idx[..., :top_k]
+        _, h, w, _ = depth.shape
+        if (h, w) != idx.shape[1:3]:
+            idx = resize_nearest(idx, (h, w))
+        return idx
+
+    fn = jax.shard_map(
+        local_predict,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("model", None), P("model")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_predict_inputs(mesh: Mesh, depth, table, ids):
+    """Place predict inputs on the mesh (batch over 'data', table rows
+    over 'model')."""
+    depth = jax.device_put(depth, NamedSharding(mesh, P("data")))
+    table = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    ids = jax.device_put(ids, NamedSharding(mesh, P("model")))
+    return depth, table, ids

@@ -146,3 +146,42 @@ def test_data_parallel_gradients_match_single_device():
     flat4 = jax.tree.leaves(p4)
     for a, b in zip(flat1, flat4):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
+
+
+def test_sharded_predict_matches_single_device():
+    """Data x class sharded predict (parallel/predict.py) is bit-identical
+    to single-device predict_folded over the full table: per-shard folded
+    scoring + local top-k with values + all_gather('model') + two-key
+    (-value, id) sort reproduce the global ascending-id tie-break."""
+    from rangeclip_tpu.models.depth_unet import (
+        DepthUNet, DepthUNetConfig, predict_folded,
+    )
+    from rangeclip_tpu.parallel.mesh import make_mesh
+    from rangeclip_tpu.parallel.predict import (
+        make_sharded_predict, pad_class_table, shard_predict_inputs,
+    )
+
+    cfg = DepthUNetConfig(
+        encoder_filters=(8, 16, 16, 16, 32), embedding_dim=32,
+        use_batch_norm=True,
+    )
+    model = DepthUNet(cfg)
+    B, H, W, C, K = 4, 32, 32, 100, 5
+    x = jax.random.normal(jax.random.key(1), (B, H, W, 1))
+    vars_ = model.init(jax.random.key(0), x, train=False)
+    table = jax.random.normal(jax.random.key(2), (C, 32))
+
+    want = predict_folded(model, vars_, x, table, top_k=K)
+    assert want.shape == (B, H, W, K)
+
+    for n_data, n_model in ((2, 2), (4, 1), (1, 4)):
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        padded, ids = pad_class_table(table, n_model, lane_multiple=False)
+        fn = make_sharded_predict(model, mesh, top_k=K)
+        with jax.sharding.set_mesh(mesh):
+            xd, td, idsd = shard_predict_inputs(mesh, x, padded, ids)
+            got = jax.device_get(fn(vars_, xd, td, idsd))
+        np.testing.assert_array_equal(
+            got, np.asarray(want),
+            err_msg=f"mesh data={n_data} model={n_model}",
+        )

@@ -50,6 +50,11 @@ def cmd_throughput(args) -> None:
 
             @jax.jit
             def predict(variables, depth):
+                if args.predict_path == "folded":
+                    from rangeclip_tpu.models.depth_unet import predict_folded
+
+                    return predict_folded(model, variables, depth, text,
+                                          candidate_mask=cand, top_k=5)
                 return model.apply(variables, depth, text, cand, 5,
                                    method=DepthUNet.predict)[0]
 
@@ -276,6 +281,11 @@ def main(argv=None) -> None:
                         "better occupancy (BN stats then span the full "
                         "batch — a documented, usually favorable change).")
     t.add_argument("--num_classes", type=int, default=512)
+    t.add_argument("--predict_path", choices=("folded", "default"),
+                   default="folded",
+                   help="'folded' contracts the output conv with the text "
+                   "table (bench.py's default); 'default' is the "
+                   "reference-parity scoring order")
     t.add_argument("--iters", type=int, default=20)
     t.add_argument("--rounds", type=int, default=3)
     t.add_argument("--bf16", action="store_true")

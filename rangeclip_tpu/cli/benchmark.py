@@ -25,6 +25,7 @@ def cmd_throughput(args) -> None:
         DepthUNet,
         DepthUNetConfig,
         build_candidate_mask,
+        folded_is_profitable,
     )
     from rangeclip_tpu.training.optim import make_optimizer
     from rangeclip_tpu.training.state import create_train_state
@@ -50,7 +51,10 @@ def cmd_throughput(args) -> None:
 
             @jax.jit
             def predict(variables, depth):
-                if args.predict_path == "folded":
+                if args.predict_path == "folded" or (
+                    args.predict_path == "auto"
+                    and folded_is_profitable(C, D)
+                ):
                     from rangeclip_tpu.models.depth_unet import predict_folded
 
                     return predict_folded(model, variables, depth, text,
@@ -281,11 +285,12 @@ def main(argv=None) -> None:
                         "better occupancy (BN stats then span the full "
                         "batch — a documented, usually favorable change).")
     t.add_argument("--num_classes", type=int, default=512)
-    t.add_argument("--predict_path", choices=("folded", "default"),
-                   default="folded",
+    t.add_argument("--predict_path", choices=("auto", "folded", "default"),
+                   default="auto",
                    help="'folded' contracts the output conv with the text "
                    "table (bench.py's default); 'default' is the "
-                   "reference-parity scoring order")
+                   "reference-parity scoring order; 'auto' folds under "
+                   "the measured ~1.5x-embedding-dim class-count crossover")
     t.add_argument("--iters", type=int, default=20)
     t.add_argument("--rounds", type=int, default=3)
     t.add_argument("--bf16", action="store_true")

@@ -36,11 +36,15 @@ def main(argv=None) -> None:
     parser.add_argument("--height", type=int, default=256)
     parser.add_argument("--width", type=int, default=256)
     parser.add_argument("--top_k", type=int, default=5)
-    parser.add_argument("--predict_path", choices=("folded", "default"),
-                        default="folded",
+    parser.add_argument("--predict_path",
+                        choices=("auto", "folded", "default"),
+                        default="auto",
                         help="'folded' contracts the output conv with the "
-                        "text table (same ranking, faster); 'default' is "
-                        "the reference-parity scoring order")
+                        "text table (same ranking, faster for small "
+                        "candidate counts); 'default' is the "
+                        "reference-parity scoring order; 'auto' folds "
+                        "while the class count stays under the measured "
+                        "~1.5x-embedding-dim crossover")
     parser.add_argument("--num_negatives", type=int, default=300)
     parser.add_argument("--embedding_dim", type=int, default=512)
     parser.add_argument("--unet_architecture", default="resnet",
@@ -59,7 +63,11 @@ def main(argv=None) -> None:
     from rangeclip_tpu.data.labels import load_candidate_labels
     from rangeclip_tpu.data.transforms import depth_transform
     from rangeclip_tpu.models.clip.provider import get_text_provider
-    from rangeclip_tpu.models.depth_unet import DepthUNet, DepthUNetConfig
+    from rangeclip_tpu.models.depth_unet import (
+        DepthUNet,
+        DepthUNetConfig,
+        folded_is_profitable,
+    )
     from rangeclip_tpu.training.checkpoint import CheckpointManager
     from rangeclip_tpu.training.optim import make_optimizer
     from rangeclip_tpu.training.state import create_train_state
@@ -94,9 +102,14 @@ def main(argv=None) -> None:
 
     @jax.jit
     def predict(variables, depth):
-        if args.predict_path == "folded":
-            # folded head (predict_folded): identical ranking, ~10% faster
-            # end-to-end on TPU; bf16 near-ties may round differently
+        if args.predict_path == "folded" or (
+            args.predict_path == "auto"
+            and folded_is_profitable(num_classes, args.embedding_dim)
+        ):
+            # folded head (predict_folded): identical ranking, faster
+            # while the candidate count stays under ~1.5x the embedding
+            # dim (folded_is_profitable); bf16 near-ties may round
+            # differently
             from rangeclip_tpu.models.depth_unet import predict_folded
 
             return predict_folded(model, variables, depth, text_table,

@@ -37,7 +37,11 @@ def build_engine(args):
 
     from rangeclip_tpu.data.labels import load_candidate_labels
     from rangeclip_tpu.models.clip.provider import get_text_provider
-    from rangeclip_tpu.models.depth_unet import DepthUNet, DepthUNetConfig
+    from rangeclip_tpu.models.depth_unet import (
+        DepthUNet,
+        DepthUNetConfig,
+        folded_is_profitable,
+    )
     from rangeclip_tpu.training.checkpoint import CheckpointManager
     from rangeclip_tpu.training.optim import make_optimizer
     from rangeclip_tpu.training.state import create_train_state
@@ -66,9 +70,14 @@ def build_engine(args):
 
     @jax.jit
     def predict(variables, depth):
-        if args.predict_path == "folded":
-            # folded head (predict_folded): identical ranking, ~10% faster
-            # end-to-end on TPU; bf16 near-ties may round differently
+        if args.predict_path == "folded" or (
+            args.predict_path == "auto"
+            and folded_is_profitable(num_classes, args.embedding_dim)
+        ):
+            # folded head (predict_folded): identical ranking, faster
+            # while the candidate count stays under ~1.5x the embedding
+            # dim (folded_is_profitable); bf16 near-ties may round
+            # differently
             from rangeclip_tpu.models.depth_unet import predict_folded
 
             return predict_folded(model, variables, depth, text_table,
@@ -254,11 +263,15 @@ def main(argv=None) -> None:
     # device->host fetch shrinks 5x.  Raise it if the API grows a
     # full-top-k response.
     parser.add_argument("--top_k", type=int, default=1)
-    parser.add_argument("--predict_path", choices=("folded", "default"),
-                        default="folded",
+    parser.add_argument("--predict_path",
+                        choices=("auto", "folded", "default"),
+                        default="auto",
                         help="'folded' contracts the output conv with the "
-                        "text table (same ranking, faster); 'default' is "
-                        "the reference-parity scoring order")
+                        "text table (same ranking, faster for small "
+                        "candidate counts); 'default' is the "
+                        "reference-parity scoring order; 'auto' folds "
+                        "while the class count stays under the measured "
+                        "~1.5x-embedding-dim crossover")
     parser.add_argument("--embedding_dim", type=int, default=512)
     parser.add_argument("--unet_architecture", default="resnet")
     parser.add_argument("--bf16", action="store_true")

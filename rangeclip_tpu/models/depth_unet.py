@@ -427,6 +427,15 @@ def predict_folded(
     Returns topk indices [B, H, W, k] i32 in the global label space
     (native [B, h, w, k] when ``upsample=False``); with ``want_values``,
     an ``(indices, values)`` tuple.
+
+    When to fold (measured, v5e, batch 128 @ 256^2): the folded conv
+    materializes an [N, S] score field where the default path
+    materializes an [N, D] embedding field (its scoring stays in
+    registers inside pixel_text_topk), so folding trades head FLOPs
+    against HBM bytes as S grows past D.  S=384: folded wins 27.4 vs
+    30.3 ms; S=2048: folded LOSES 79 vs 65 ms (the 4x score field is
+    ~17 GB of round-trip traffic).  :func:`folded_is_profitable` encodes
+    the ~1.5*D crossover; the CLIs' ``--predict_path auto`` uses it.
     """
     from rangeclip_tpu.ops.pallas.score_topk import fused_score_topk
 
@@ -488,6 +497,17 @@ def predict_folded(
     if want_values:
         return topk_indices, topk_values
     return topk_indices
+
+
+def folded_is_profitable(num_slots: int, embedding_dim: int = 512) -> bool:
+    """Should `predict_folded` be used over `predict` for this candidate
+    count?  Folding removes the conv-to-D + scoring matmul (wins FLOPs at
+    any S) but materializes an [N, S] score field where the default path
+    materializes [N, D] (in-register scoring) — HBM traffic grows with S.
+    Measured crossover on v5e is around S ~ 1.5*D (S=384 wins ~10%,
+    S=2048 loses ~18%; see predict_folded's docstring)."""
+    padded = -(-num_slots // 128) * 128
+    return padded <= (3 * embedding_dim) // 2
 
 
 def build_candidate_mask(

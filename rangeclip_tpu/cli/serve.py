@@ -68,6 +68,48 @@ def build_engine(args):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     candidate_mask = jnp.ones((num_classes,), bool)
 
+    if getattr(args, "data_parallel", False) and jax.device_count() > 1:
+        # Multi-chip serving (parallel/predict.py): batch sharded over
+        # 'data', candidate-table rows over 'model' (--model_parallel),
+        # exact cross-shard top-k merge — bit-identical labels to the
+        # single-device folded path.  Per-shard slot counts shrink with
+        # 'model', so the folded formulation stays on the profitable
+        # side of its class-count crossover.
+        from rangeclip_tpu.parallel.mesh import make_mesh, replicate
+        from rangeclip_tpu.parallel.predict import (
+            make_sharded_predict,
+            pad_class_table,
+        )
+
+        n_model = max(1, getattr(args, "model_parallel", 1))
+        n_data = jax.device_count() // n_model
+        if args.batch_size % n_data:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must divide by the data-"
+                f"parallel degree {n_data} (devices={jax.device_count()}, "
+                f"--model_parallel {n_model})"
+            )
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        table, ids = pad_class_table(text_table, n_model)
+        variables = replicate(mesh, variables)
+        sharded = make_sharded_predict(model, mesh, top_k=args.top_k)
+        # table/ids are request-invariant: place them once
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        table = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+        ids = jax.device_put(ids, NamedSharding(mesh, P("model")))
+        batch_sharding = NamedSharding(mesh, P("data"))
+
+        def predict(variables, depth):
+            depth_in = jax.device_put(jnp.asarray(depth), batch_sharding)
+            return sharded(variables, depth_in, table, ids)
+
+        warm = jnp.zeros(
+            (args.batch_size, args.height, args.width, 1), jnp.float32
+        )
+        jax.block_until_ready(predict(variables, warm))
+        return predict, variables, labels
+
     @jax.jit
     def predict(variables, depth):
         if args.predict_path == "folded" or (
@@ -263,6 +305,14 @@ def main(argv=None) -> None:
     # device->host fetch shrinks 5x.  Raise it if the API grows a
     # full-top-k response.
     parser.add_argument("--top_k", type=int, default=1)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard request batches over all devices "
+                        "(parallel/predict.py); requires batch_size "
+                        "divisible by devices/model_parallel")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="with --data_parallel: shard the candidate "
+                        "table over this many devices per batch shard "
+                        "(exact cross-shard top-k merge)")
     parser.add_argument("--predict_path",
                         choices=("auto", "folded", "default"),
                         default="auto",

@@ -103,3 +103,53 @@ def test_serve_end_to_end(tmp_path):
     assert request("GET", "/stats")[0] == 200
 
     server.shutdown()
+
+
+@pytest.mark.slow
+def test_serve_engine_data_parallel(tmp_path):
+    """--data_parallel engine: batch sharded over 'data', table over
+    'model' (parallel/predict.py), same submit/response contract."""
+    from rangeclip_tpu.cli import serve as serve_mod
+    from rangeclip_tpu.models.depth_unet import DepthUNetConfig
+    from rangeclip_tpu.training.checkpoint import CheckpointManager
+    from rangeclip_tpu.training.optim import make_optimizer
+    from rangeclip_tpu.training.state import create_train_state
+
+    data = write_synthetic_dataset(str(tmp_path / "d"), n_samples=4,
+                                   shape=(32, 32), num_classes=8)
+    cfg = DepthUNetConfig(
+        encoder_filters=(8, 16, 16, 16, 32), embedding_dim=32,
+        use_batch_norm=True,
+    )
+    state = create_train_state(jax.random.key(0), cfg, make_optimizer(0.0),
+                               (4, 32, 32, 1))
+    ckpt_dir = str(tmp_path / "ckpt")
+    CheckpointManager(ckpt_dir).save(state)
+
+    from rangeclip_tpu.models import depth_unet as du_mod
+
+    du_orig = du_mod.DepthUNetConfig
+
+    def small_cfg(**kw):
+        kw["encoder_filters"] = (8, 16, 16, 16, 32)
+        return du_orig(**kw)
+
+    du_mod.DepthUNetConfig = small_cfg
+    try:
+        args = argparse.Namespace(
+            checkpoint_dir=ckpt_dir, labels_path=data["labels"],
+            batch_size=4, height=32, width=32, top_k=3, embedding_dim=32,
+            unet_architecture="resnet", bf16=False,
+            predict_path="auto", data_parallel=True, model_parallel=2,
+            clip_checkpoint_path=None, clip_vocab_path=None,
+            clip_merges_path=None,
+        )
+        predict, variables, labels = serve_mod.build_engine(args)
+    finally:
+        du_mod.DepthUNetConfig = du_orig
+
+    engine = serve_mod.Engine(predict, variables, 4, (32, 32))
+    rng = np.random.default_rng(0)
+    topk = engine.submit(rng.standard_normal((32, 32)).astype(np.float32))
+    assert topk.shape == (32, 32, 3)
+    assert (topk >= 0).all() and (topk < len(labels)).all()

@@ -261,6 +261,113 @@ def cmd_loader(args) -> None:
         del _os.environ["RANGECLIP_NATIVE"]
 
 
+def cmd_profile(args) -> None:
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rangeclip_tpu.models.depth_unet import (
+        DepthUNet,
+        DepthUNetConfig,
+        build_candidate_indices,
+        folded_is_profitable,
+        predict_folded,
+    )
+    from rangeclip_tpu.utils.profiling import format_rows, summarize_trace
+
+    res, C, D = args.resolution, args.num_classes, 512
+    cfg = DepthUNetConfig(unet_type=args.unet_architecture,
+                          use_batch_norm=True,
+                          dtype=jnp.bfloat16 if args.bf16 else None)
+    model = DepthUNet(cfg)
+
+    if args.mode == "predict":
+        B = args.batch_size or 128
+        depth = jax.random.normal(jax.random.key(0), (B, res, res, 1),
+                                  jnp.float32)
+        variables = jax.jit(lambda k, d: model.init(k, d, train=False))(
+            jax.random.key(1), depth
+        )
+        text = jax.random.normal(jax.random.key(2), (C, D), jnp.float32)
+        seg = jax.random.randint(jax.random.key(3), (B, res, res), 0, 40)
+        cand = build_candidate_indices(jax.random.key(4), seg, C, 300,
+                                       capacity=384)
+        folded = args.predict_path == "folded" or (
+            args.predict_path == "auto" and folded_is_profitable(384, D)
+        )
+
+        @jax.jit
+        def fn(variables, depth):
+            if folded:
+                out = predict_folded(model, variables, depth, text,
+                                     top_k=5, candidate_indices=cand)
+            else:
+                out, _, _ = model.apply(
+                    variables, depth, text, None, 5,
+                    method=DepthUNet.predict, return_embeddings=False,
+                    candidate_indices=cand,
+                )
+            return jnp.sum(out.reshape(-1).astype(jnp.float32))
+
+        run = lambda: fn(variables, depth)
+        hlo = fn.lower(variables, depth).compile().as_text()
+    else:
+        from rangeclip_tpu.losses.hybrid import HybridLossConfig
+        from rangeclip_tpu.training.optim import make_optimizer
+        from rangeclip_tpu.training.state import create_train_state
+        from rangeclip_tpu.training.train_step import make_train_step
+
+        A = args.accumulation_steps
+        B = args.batch_size or 32
+        opt = make_optimizer(1e-4)
+        state = create_train_state(jax.random.key(0), cfg, opt,
+                                   (B, res, res, 1))
+        rng = np.random.default_rng(0)
+        batch = {
+            "depth": rng.standard_normal((A, B, res, res, 1)).astype(np.float32),
+            "segmentation": rng.integers(0, 40, (A, B, res, res)).astype(np.int32),
+            "object_label": np.ones((A, B), np.int32),
+            "image_embeddings": rng.standard_normal((A, B, D)).astype(np.float32),
+            "sample_valid": np.ones((A, B), np.float32),
+        }
+        text = jax.random.normal(jax.random.key(1), (C, D))
+        med = jnp.zeros((C, C), bool)
+        step = make_train_step(model, opt, HybridLossConfig(), accum_steps=A)
+
+        def mk_run():
+            holder = {"s": state}
+
+            def run():
+                holder["s"], info = step(
+                    holder["s"], batch, jax.random.key(5),
+                    jnp.float32(1e-4), jnp.float32(0.25), jnp.float32(0.5),
+                    text, med, med,
+                )
+                return holder["s"]
+
+            return run
+
+        run = mk_run()
+        hlo = None  # the step donates its state; lowering again is cheap
+        hlo = step.lower(
+            state, batch, jax.random.key(5), jnp.float32(1e-4),
+            jnp.float32(0.25), jnp.float32(0.5), text, med, med,
+        ).compile().as_text()
+
+    jax.block_until_ready(run())  # compile + warm
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="rangeclip_prof_")
+    with jax.profiler.trace(trace_dir):
+        out = None
+        for _ in range(args.steps):
+            out = run()
+        jax.block_until_ready(out)
+    rows = summarize_trace(trace_dir, steps=args.steps, hlo_text=hlo)
+    print(format_rows(rows, top=args.top))
+    print(f"# raw trace: {trace_dir}")
+
+
 def main(argv=None) -> None:
     from rangeclip_tpu.utils.platform import enable_compilation_cache
     enable_compilation_cache()
@@ -326,6 +433,30 @@ def main(argv=None) -> None:
     r.add_argument("--plot_out", default=None,
                    help="write metric-vs-brightness curves to this PNG")
     r.set_defaults(fn=cmd_robustness)
+
+    p = sub.add_parser(
+        "profile",
+        help="run N steps of the predict or train program under "
+        "jax.profiler and print a per-op device-time table with XLA "
+        "fusions mapped back to model ops (utils/profiling.py)",
+    )
+    p.add_argument("--mode", choices=("predict", "train"), default="predict")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="default: 128 for predict, 32 for train")
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--num_classes", type=int, default=512)
+    p.add_argument("--accumulation_steps", type=int, default=1)
+    p.add_argument("--unet_architecture", choices=["resnet", "mit"],
+                   default="resnet")
+    p.add_argument("--predict_path", choices=("auto", "folded", "default"),
+                   default="auto")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--fp32", dest="bf16", action="store_false")
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--top", type=int, default=20)
+    p.add_argument("--trace_dir", default=None,
+                   help="keep the raw trace here (default: a temp dir)")
+    p.set_defaults(fn=cmd_profile)
 
     l = sub.add_parser("loader")
     l.add_argument("--labeled_metadata_path", required=True)

@@ -112,9 +112,17 @@ def sample_pixel_multiplicities(
         y, x = idx // W, idx % W
         # full-res (y, x) -> slot-major flat index ((a*s + c)*h + i)*w + j
         idx = ((y % s) * s + (x % s)) * (h * w) + (y // s) * w + (x // s)
-    counts = jax.vmap(
-        lambda row: jnp.zeros((n_total,), jnp.int32).at[row].add(1)
-    )(idx)
+    if use_tpu_kernels():
+        # XLA lowers the scatter-add histogram to a serialized per-index
+        # update (~9.8 ms/step at the canonical config, 14% of the step);
+        # the MXU one-hot matmul is bit-identical and ~6x faster.
+        from rangeclip_tpu.ops.pallas.histogram import fused_histogram
+
+        counts = fused_histogram(idx, n_total)
+    else:
+        counts = jax.vmap(
+            lambda row: jnp.zeros((n_total,), jnp.int32).at[row].add(1)
+        )(idx)
 
     if slots > 1:
         labels = target.reshape(B, h, s, w, s).transpose(2, 4, 0, 1, 3)

@@ -102,6 +102,26 @@ def test_total_variation_matches_torch_l1():
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_total_variation_custom_vjp_matches_autodiff():
+    """The fused backward (smoothness.py _tv_bwd) vs XLA autodiff of the
+    same forward — including exact ties, where both use JAX's +1 slope."""
+    from rangeclip_tpu.losses.smoothness import _tv_value
+
+    rng = np.random.default_rng(7)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        for s in (1, 2):
+            x = jnp.asarray(rng.standard_normal((2, 8, 9, 16)), dtype)
+            x = x.at[0, 2, 3].set(x[0, 2, 4])  # exact horizontal tie
+            va, ga = jax.value_and_grad(lambda t: _tv_value(t, s))(x)
+            vb, gb = jax.value_and_grad(
+                lambda t: total_variation_loss(t, s))(x)
+            assert float(va) == float(vb)
+            tol = 1e-6 if dtype == jnp.float32 else 5e-3
+            np.testing.assert_allclose(
+                np.asarray(ga, np.float32), np.asarray(gb, np.float32),
+                rtol=tol, atol=tol * 1e-2)
+
+
 def test_masked_average_pooling_matches_loop_oracle():
     rng = np.random.default_rng(3)
     B, H, W, D = 2, 6, 5, 7

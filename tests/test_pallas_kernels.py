@@ -464,3 +464,49 @@ def test_predict_folded_matches_predict():
         method=DepthUNet.predict, scoring="xla",
     )
     assert (np.asarray(got_odd) == np.asarray(want_odd)).mean() > 0.99
+
+
+def test_fused_histogram_matches_scatter():
+    from rangeclip_tpu.ops.pallas.histogram import fused_histogram
+
+    rng = np.random.default_rng(11)
+    B, N, P = 3, 5000, 1000  # P not a multiple of 256; N not of chunk
+    idx = rng.integers(0, P, size=(B, N)).astype(np.int32)
+    idx[0, :77] = -1  # negative = ignored (chunk padding convention)
+
+    got = np.asarray(fused_histogram(
+        jnp.asarray(idx), P, chunk=1024, interpret=True))
+    want = np.zeros((B, P), np.float32)
+    for b in range(B):
+        np.add.at(want[b], idx[b][idx[b] >= 0], 1.0)
+    np.testing.assert_array_equal(got, want)
+
+    # small-bin edge: n_bins < 256 still pads the sublane axis to 8 rows
+    idx_small = np.where(idx >= 0, idx % 50, -1).astype(np.int32)
+    got_small = np.asarray(fused_histogram(
+        jnp.asarray(idx_small), 50, chunk=1024, interpret=True))
+    want_small = np.zeros((B, 50), np.float32)
+    for b in range(B):
+        np.add.at(want_small[b], idx_small[b][idx_small[b] >= 0], 1.0)
+    np.testing.assert_array_equal(got_small, want_small)
+
+
+def test_sample_pixel_multiplicities_kernel_path_matches(monkeypatch):
+    from jax.experimental.pallas import tpu as pltpu
+    from rangeclip_tpu.losses.infonce import sample_pixel_multiplicities
+
+    rng = np.random.default_rng(5)
+    B, H, W = 2, 16, 16
+    target = jnp.asarray(rng.integers(0, 6, size=(B, H, W)), jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    for slots in (1, 2):
+        w_ref, l_ref = sample_pixel_multiplicities(
+            key, target, percent=0.7, slots=slots)
+        monkeypatch.setenv("RANGECLIP_PLATFORM", "tpu")
+        with pltpu.force_tpu_interpret_mode():
+            w_k, l_k = sample_pixel_multiplicities(
+                key, target, percent=0.7, slots=slots)
+        monkeypatch.delenv("RANGECLIP_PLATFORM")
+        np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w_k))
+        np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_k))

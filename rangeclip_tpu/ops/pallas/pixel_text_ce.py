@@ -41,8 +41,12 @@ def _tile_logits(samples_ref, text_ref, mask_ref, inv_temp):
     sq = jnp.sum(s * s, axis=1, keepdims=True)
     rs = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
     emb = s * rs
+    # MXU operand dtype follows the text table: in the bf16 perf mode the
+    # caller ships the table as bf16 and the scoring matmul runs native
+    # bf16 x bf16 -> f32 (an f32 matmul costs multiple MXU passes); in the
+    # f32 parity mode the astype is a no-op and numerics are unchanged.
     sim = jax.lax.dot_general(
-        emb, text_ref[:],
+        emb.astype(text_ref.dtype), text_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [TN, C]
@@ -112,15 +116,37 @@ def _bwd_kernel(inv_temp_ref, coeff_ref, samples_ref, labels_ref, valid_ref,
                         axis=1) * inv_z
     dtau_ref[0, :] = wpick - wsum * exp_logit
 
-    # d samples through logits and the L2 normalize
+    # d samples through logits and the L2 normalize (same bf16-operand
+    # MXU rule as the forward — see _tile_logits)
     d_emb = jax.lax.dot_general(
-        delta, text_ref[:],
+        delta.astype(text_ref.dtype), text_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * inv_temp_ref[0]  # [TN, D]
     proj = jnp.sum(emb * d_emb, axis=1, keepdims=True)
     d = (rs * (d_emb - emb * proj)).astype(dsamples_ref.dtype)
     dsamples_ref[:] = d.reshape(dsamples_ref.shape)
+
+
+def _mm_dtype(samples):
+    """MXU operand dtype for the scoring matmuls.
+
+    bf16 training (the perf mode) scores with bf16 operands and f32
+    accumulation — the text table rows and the normalized pixel rows are
+    rounded to bf16 before the dot, which is how XLA lowers a bf16 matmul
+    anyway; an all-f32 matmul costs several MXU passes per tile.  fp32
+    samples (the parity mode) keep the all-f32 matmul: numerics are
+    bit-identical to the pre-bf16 kernel.  ``RANGECLIP_CE_MATMUL`` forces
+    ``f32`` or ``bf16`` for A/B measurement.
+    """
+    import os
+
+    forced = os.environ.get("RANGECLIP_CE_MATMUL", "auto")
+    if forced == "f32":
+        return jnp.float32
+    if forced == "bf16":
+        return jnp.bfloat16
+    return (jnp.bfloat16 if samples.dtype == jnp.bfloat16 else jnp.float32)
 
 
 def _rows_per_block(H: int, W: int, prefer: int = 2, C: int = 512):
@@ -199,7 +225,10 @@ def fused_pixel_text_ce(
         implement native-resolution training exactly: one decoder pixel
         carries the labels of its nearest-upsample children.
       valid: [N] (or [S, N]) float32 weights (0 = background).
-      text_normalized: [C, D] float32, L2-normalized rows.
+      text_normalized: [C, D] L2-normalized rows; shipped to the kernel in
+        the MXU operand dtype (_mm_dtype): bf16 when ``samples`` is bf16
+        (native-MXU matmul, f32 accumulation), f32 otherwise (bit-identical
+        parity mode).
       contrast_mask: [C] bool contrast-set membership.
     """
     return _ce_forward(samples, temperature, labels, valid, text_normalized,
@@ -268,7 +297,7 @@ def _ce_forward(samples, temperature, labels, valid, text_normalized,
         samples_p,
         labels_p.astype(jnp.int32),
         valid_p.astype(jnp.float32),
-        text_normalized.astype(jnp.float32),
+        text_normalized.astype(_mm_dtype(samples)),
         contrast_mask.astype(jnp.int32),
     )
     return jnp.sum(ce)
@@ -332,7 +361,7 @@ def _ce_bwd_rule(tile_n, interpret, residuals, g):
         samples_p,
         labels_p.astype(jnp.int32),
         valid_p.astype(jnp.float32),
-        text_normalized.astype(jnp.float32),
+        text_normalized.astype(_mm_dtype(samples)),
         contrast_mask.astype(jnp.int32),
     )
 

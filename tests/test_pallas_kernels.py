@@ -141,6 +141,68 @@ def test_fused_pixel_text_ce_matches_xla_values_and_grads():
     np.testing.assert_allclose(float(gb[1]), float(ga[1]), rtol=1e-4)
 
 
+def test_fused_ce_bf16_matmul_mode(monkeypatch):
+    """bf16 samples flip the CE kernel's MXU operands to bf16 (f32 accum).
+
+    The forward must equal an XLA oracle applying the identical operand
+    rounding (normalize in f32, round emb+text to bf16, dot with f32
+    accumulation); gradients must track the all-f32 kernel within bf16
+    tolerance; and RANGECLIP_CE_MATMUL=f32 must restore the all-f32 matmul
+    bit-for-bit.
+    """
+    from rangeclip_tpu.ops.pallas.pixel_text_ce import (
+        _mm_dtype,
+        fused_pixel_text_ce,
+    )
+
+    rng = np.random.default_rng(11)
+    N, D, C = 256, 32, 48
+    s32 = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    s16 = s32.astype(jnp.bfloat16)
+    assert _mm_dtype(s16) == jnp.bfloat16 and _mm_dtype(s32) == jnp.float32
+    labels = jnp.asarray(rng.integers(1, 20, N), jnp.int32)
+    valid = jnp.asarray((rng.random(N) > 0.3), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
+    mask = np.zeros(C, bool)
+    mask[np.unique(np.asarray(labels))] = True
+    mask = jnp.asarray(mask)
+    text_n = l2_normalize(text, axis=-1)
+    t0 = jnp.float32(0.07)
+
+    def fused(s, t):
+        return fused_pixel_text_ce(s, t, labels, valid, text_n, mask, 64, True)
+
+    def oracle_bf16(s, t):
+        emb = l2_normalize(s.astype(jnp.float32), axis=-1)
+        logits = jax.lax.dot_general(
+            emb.astype(jnp.bfloat16), text_n.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / t
+        logits = jnp.where(mask[None, :], logits, -1e30)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+        return jnp.sum((lse - picked) * valid)
+
+    np.testing.assert_allclose(float(fused(s16, t0)),
+                               float(oracle_bf16(s16, t0)), rtol=1e-5)
+
+    # gradients: bf16-matmul kernel tracks the all-f32 kernel to bf16 noise
+    monkeypatch.setenv("RANGECLIP_CE_MATMUL", "f32")
+    val_f32 = float(fused(s16, t0))
+    g_f32 = jax.grad(fused, argnums=(0, 1))(s16, t0)
+    # forcing f32 with bf16 samples == the pre-bf16 kernel on upcast samples
+    np.testing.assert_allclose(val_f32, float(fused(s16.astype(jnp.float32),
+                                                    t0)), rtol=1e-6)
+    monkeypatch.setenv("RANGECLIP_CE_MATMUL", "bf16")
+    g_b = jax.grad(fused, argnums=(0, 1))(s16, t0)
+    scale = np.max(np.abs(np.asarray(g_f32[0], np.float32)))
+    np.testing.assert_allclose(
+        np.asarray(g_b[0], np.float32), np.asarray(g_f32[0], np.float32),
+        atol=3e-2 * scale)
+    np.testing.assert_allclose(float(g_b[1]), float(g_f32[1]), rtol=3e-2)
+
+
 def test_fused_tv_loss_matches_xla_values_and_grads():
     import rangeclip_tpu.ops.pallas.tv_loss as tvmod
     from rangeclip_tpu.losses.smoothness import total_variation_loss

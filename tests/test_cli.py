@@ -140,3 +140,75 @@ def test_cli_train_rejects_mismatched_schedule(workspace):
             "--unet_architecture", "resnet",
             "--learning_rates", "1e-3", "1e-4", "--learning_schedule", "1",
         ])
+
+
+def test_cli_convert_roundtrip(tmp_path):
+    """convert: orbax -> reference .pth -> orbax preserves every weight,
+    BN statistic, and the train step."""
+    pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from rangeclip_tpu.cli import convert as convert_cli
+    from rangeclip_tpu.models.depth_unet import DepthUNetConfig
+    from rangeclip_tpu.training.checkpoint import CheckpointManager
+    from rangeclip_tpu.training.optim import make_optimizer
+    from rangeclip_tpu.training.state import create_train_state
+
+    cfg = DepthUNetConfig(encoder_filters=(8, 16, 16, 16, 32),
+                          embedding_dim=EDIM, use_batch_norm=True)
+    state = create_train_state(
+        jax.random.key(3), cfg, make_optimizer(0.0), (1, RES, RES, 1)
+    ).replace(step=jnp.int32(7))
+    src = str(tmp_path / "src" / "checkpoints")
+    mgr = CheckpointManager(src)
+    mgr.save(state)
+    mgr.close()
+
+    model_flags = [
+        "--embedding_dim", str(EDIM),
+        "--encoder_filters", "8", "16", "16", "16", "32",
+        "--n_height", str(RES), "--n_width", str(RES),
+    ]
+    pth = str(tmp_path / "exported.pth")
+    convert_cli.main(["--checkpoint_dir", src, "--to_pth", pth] + model_flags)
+    convert_cli.main(["--from_pth", pth,
+                      "--checkpoint_path", str(tmp_path / "imported")]
+                     + model_flags)
+
+    template = create_train_state(
+        jax.random.key(4), cfg, make_optimizer(0.0), (1, RES, RES, 1))
+    back = CheckpointManager(
+        str(tmp_path / "imported" / "checkpoints")).restore(template)
+    assert int(back.step) == 7
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(back.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.batch_stats),
+                    jax.tree.leaves(back.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_convert_rejects_mismatched_model(tmp_path):
+    pytest.importorskip("torch")
+    import jax
+    from rangeclip_tpu.cli import convert as convert_cli
+    from rangeclip_tpu.models.torch_interop import save_reference_checkpoint
+    from rangeclip_tpu.models.depth_unet import DepthUNet, DepthUNetConfig
+
+    cfg = DepthUNetConfig(encoder_filters=(8, 16, 16, 16, 32),
+                          embedding_dim=EDIM, use_batch_norm=True)
+    variables = DepthUNet(cfg).init(
+        jax.random.key(0), np.zeros((1, RES, RES, 1), np.float32), train=False)
+    pth = str(tmp_path / "m.pth")
+    save_reference_checkpoint(
+        jax.tree.map(np.asarray, variables["params"]),
+        jax.tree.map(np.asarray, variables["batch_stats"]), pth, train_step=1)
+
+    with pytest.raises(SystemExit, match="mismatch|does not match"):
+        convert_cli.main([
+            "--from_pth", pth, "--checkpoint_path", str(tmp_path / "out"),
+            "--embedding_dim", str(EDIM),
+            "--encoder_filters", "8", "16", "16", "16", "64",  # wrong widths
+            "--n_height", str(RES), "--n_width", str(RES),
+        ])

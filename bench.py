@@ -86,7 +86,37 @@ def _chip_peak_flops(device) -> float:
     return max(_PEAK_BF16.values())
 
 
+def _arm_init_watchdog(done_event, secs: float):
+    """Tunnel outages can HANG backend init/first-compile indefinitely
+    (observed: 26 min stuck in init before an UNAVAILABLE surfaced) — an
+    exception-based retry never fires.  A daemon thread re-execs the
+    process if model init hasn't finished within ``secs``, counting it as
+    a transient-backend retry."""
+    import threading
+
+    def watch():
+        if done_event.wait(secs):
+            return
+        tries = int(os.environ.get("BENCH_RETRY", "0"))
+        if tries >= 5:
+            _progress(f"init watchdog: still stuck after {secs:.0f}s and "
+                      "retry budget exhausted — giving up")
+            os._exit(3)
+        _progress(f"init watchdog: backend/model init stuck for {secs:.0f}s "
+                  f"— re-exec (retry {tries + 1}/5)")
+        os.environ["BENCH_RETRY"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def main() -> None:
+    import threading
+
+    init_done = threading.Event()
+    _arm_init_watchdog(
+        init_done, float(os.environ.get("BENCH_WATCHDOG_SECS", 900)))
+
     import jax
     import jax.numpy as jnp
 
@@ -120,6 +150,7 @@ def main() -> None:
         jax.random.key(1), depth
     )
     jax.block_until_ready(variables)
+    init_done.set()
     _progress("init done")
     text = jax.random.normal(jax.random.key(2), (NUM_CLASSES, 512), jnp.float32)
     seg = jax.random.randint(jax.random.key(3), (BATCH, RES, RES), 0, 40)

@@ -86,12 +86,12 @@ def _chip_peak_flops(device) -> float:
     return max(_PEAK_BF16.values())
 
 
-def _arm_init_watchdog(done_event, secs: float):
-    """Tunnel outages can HANG backend init/first-compile indefinitely
-    (observed: 26 min stuck in init before an UNAVAILABLE surfaced) — an
-    exception-based retry never fires.  A daemon thread re-execs the
-    process if model init hasn't finished within ``secs``, counting it as
-    a transient-backend retry."""
+def _arm_watchdog(done_event, secs: float, stage: str):
+    """Tunnel outages can HANG a phase indefinitely (observed: 26 min stuck
+    in backend init before an UNAVAILABLE surfaced) — an exception-based
+    retry never fires.  A daemon thread re-execs the process if ``stage``
+    hasn't signalled completion within ``secs``, counting it as a
+    transient-backend retry."""
     import threading
 
     def watch():
@@ -99,10 +99,10 @@ def _arm_init_watchdog(done_event, secs: float):
             return
         tries = int(os.environ.get("BENCH_RETRY", "0"))
         if tries >= 5:
-            _progress(f"init watchdog: still stuck after {secs:.0f}s and "
+            _progress(f"{stage} watchdog: still stuck after {secs:.0f}s and "
                       "retry budget exhausted — giving up")
             os._exit(3)
-        _progress(f"init watchdog: backend/model init stuck for {secs:.0f}s "
+        _progress(f"{stage} watchdog: stuck for {secs:.0f}s "
                   f"— re-exec (retry {tries + 1}/5)")
         os.environ["BENCH_RETRY"] = str(tries + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
@@ -114,8 +114,8 @@ def main() -> None:
     import threading
 
     init_done = threading.Event()
-    _arm_init_watchdog(
-        init_done, float(os.environ.get("BENCH_WATCHDOG_SECS", 900)))
+    _arm_watchdog(
+        init_done, float(os.environ.get("BENCH_WATCHDOG_SECS", 900)), "init")
 
     import jax
     import jax.numpy as jnp
@@ -189,6 +189,14 @@ def main() -> None:
         f"chip peak {peak / 1e12:.0f} TFLOP/s"
     )
 
+    # measurement phase gets its own hang watchdog (compiles are done; 4
+    # rounds x 30 iters plus warmup normally finish in well under a minute
+    # — 20 min means the tunnel died mid-run)
+    measure_done = threading.Event()
+    _arm_watchdog(
+        measure_done,
+        float(os.environ.get("BENCH_MEASURE_WATCHDOG_SECS", 1200)), "measure")
+
     chk0 = float(jax.device_get(predict(variables, depth, text, cand)))
     if not (chk0 == chk0):  # NaN guard
         raise SystemExit("benchmark checksum is NaN — model output is garbage")
@@ -212,6 +220,7 @@ def main() -> None:
         best_dt = min(best_dt, dt)
         _progress(f"round {r}: {BATCH * ITERS / dt:.0f} maps/s, checksum {total:.0f}")
 
+    measure_done.set()
     if len(set(checksums)) != 1:
         raise SystemExit(f"non-deterministic checksums across rounds: {checksums}")
 

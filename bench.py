@@ -150,7 +150,6 @@ def main() -> None:
         jax.random.key(1), depth
     )
     jax.block_until_ready(variables)
-    init_done.set()
     _progress("init done")
     text = jax.random.normal(jax.random.key(2), (NUM_CLASSES, 512), jnp.float32)
     seg = jax.random.randint(jax.random.key(3), (BATCH, RES, RES), 0, 40)
@@ -181,6 +180,7 @@ def main() -> None:
         return jnp.sum(topk.reshape(-1).astype(jnp.float32))
 
     compiled = predict.lower(variables, depth, text, cand).compile()
+    init_done.set()  # init watchdog covers backend init + model init + compile
     flops_per_call = float(compiled.cost_analysis().get("flops", 0.0))
     peak = _chip_peak_flops(jax.devices()[0])
     _progress(

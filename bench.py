@@ -189,13 +189,16 @@ def main() -> None:
         f"chip peak {peak / 1e12:.0f} TFLOP/s"
     )
 
-    # measurement phase gets its own hang watchdog (compiles are done; 4
-    # rounds x 30 iters plus warmup normally finish in well under a minute
-    # — 20 min means the tunnel died mid-run)
+    # measurement phase gets its own hang watchdog (compiles are done; the
+    # default 4 rounds x 30 iters plus warmup normally finish in well under
+    # a minute — 20 min means the tunnel died mid-run).  The default scales
+    # with the configured work so an honest oversized BENCH_ROUNDS/ITERS/
+    # BATCH run is never killed as "stuck".
     measure_done = threading.Event()
-    _arm_watchdog(
-        measure_done,
-        float(os.environ.get("BENCH_MEASURE_WATCHDOG_SECS", 1200)), "measure")
+    measure_secs = float(os.environ.get(
+        "BENCH_MEASURE_WATCHDOG_SECS",
+        1200.0 * max(1.0, (ROUNDS * ITERS * BATCH) / (4 * 30 * 128))))
+    _arm_watchdog(measure_done, measure_secs, "measure")
 
     chk0 = float(jax.device_get(predict(variables, depth, text, cand)))
     if not (chk0 == chk0):  # NaN guard

@@ -67,19 +67,18 @@ def main(argv=None) -> None:
     from rangeclip_tpu.training.optim import make_optimizer
     from rangeclip_tpu.training.state import create_train_state
 
-    cfg_kwargs = dict(unet_type=args.unet_architecture,
-                      embedding_dim=args.embedding_dim, use_batch_norm=True)
-    if args.encoder_filters:
-        cfg_kwargs["encoder_filters"] = tuple(args.encoder_filters)
-    cfg = DepthUNetConfig(**cfg_kwargs)
-    template = create_train_state(
-        jax.random.key(0), cfg, make_optimizer(0.0),
-        (1, args.n_height, args.n_width, 1),
-    )
-
     if importing:
         from rangeclip_tpu.models.torch_interop import load_reference_checkpoint
 
+        cfg_kwargs = dict(unet_type=args.unet_architecture,
+                          embedding_dim=args.embedding_dim, use_batch_norm=True)
+        if args.encoder_filters:
+            cfg_kwargs["encoder_filters"] = tuple(args.encoder_filters)
+        cfg = DepthUNetConfig(**cfg_kwargs)
+        template = create_train_state(
+            jax.random.key(0), cfg, make_optimizer(0.0),
+            (1, args.n_height, args.n_width, 1),
+        )
         params, batch_stats, step = load_reference_checkpoint(args.from_pth)
         flat_t, treedef_t = jax.tree.flatten(template.params)
         flat_i, treedef_i = jax.tree.flatten(
@@ -92,9 +91,12 @@ def main(argv=None) -> None:
                 f"  imported: {treedef_i}")
         coerced = []
         for a, b in zip(flat_t, flat_i):
-            if a.shape != b.shape and a.size == b.size:
+            if a.shape != b.shape and a.size == 1 and b.size == 1:
                 # the reference stores the log-temperatures as [1] tensors
-                # (model.py:77-78); our params are scalars
+                # (model.py:77-78); our params are scalars.  Only
+                # single-element leaves may be coerced — a size-equal shape
+                # mismatch on a real kernel means permuted axes and must be
+                # rejected below, not silently reshaped.
                 b = b.reshape(a.shape)
             if a.shape != b.shape:
                 raise SystemExit(
@@ -113,18 +115,21 @@ def main(argv=None) -> None:
         print(f"Imported {args.from_pth} (train_step={step}) -> {out_dir}")
         return
 
+    # Export: raw weights-only restore — no opt_state template, so
+    # checkpoints from ANY training config (weight decay, frozen-encoder
+    # multi_transform, ...) export; the .pth carries no optimizer anyway.
     manager = CheckpointManager(args.checkpoint_dir)
-    state = manager.restore(template, step=args.step)
+    params, batch_stats, step = manager.restore_weights(step=args.step)
     manager.close()
 
     from rangeclip_tpu.models.torch_interop import save_reference_checkpoint
 
     save_reference_checkpoint(
-        jax.tree.map(np.asarray, state.params),
-        jax.tree.map(np.asarray, state.batch_stats),
-        args.to_pth, train_step=int(state.step),
+        jax.tree.map(np.asarray, params),
+        jax.tree.map(np.asarray, batch_stats),
+        args.to_pth, train_step=step,
     )
-    print(f"Exported step {int(state.step)} -> {args.to_pth} "
+    print(f"Exported step {step} -> {args.to_pth} "
           "(loadable by the reference's DepthUNet.restore_model)")
 
 

@@ -51,6 +51,23 @@ class CheckpointManager:
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         return restored
 
+    def restore_weights(self, step: Optional[int] = None):
+        """Raw (template-free) restore of just (params, batch_stats, step).
+
+        Works for a checkpoint saved under ANY optimizer configuration —
+        weight decay, frozen-encoder ``multi_transform``, etc. — because no
+        opt_state template has to match.  For consumers that discard
+        optimizer state anyway (export to the reference's .pth format).
+        """
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoint found in {self.directory}")
+        raw = self._mgr.restore(step)
+        params = jax.tree.map(jnp.asarray, raw["params"])
+        batch_stats = jax.tree.map(jnp.asarray, raw.get("batch_stats", {}))
+        return params, batch_stats, int(raw["step"])
+
     def restore_encoder_params(self, template: TrainState,
                                step: Optional[int] = None):
         """Encoder-only restore (the working version of the reference's

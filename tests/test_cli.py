@@ -189,6 +189,39 @@ def test_cli_convert_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_cli_convert_exports_any_optimizer_config(tmp_path):
+    """Export must not depend on the training run's optimizer structure:
+    a weight-decay + frozen-encoder checkpoint (multi_transform-wrapped
+    opt_state) exports via the raw weights-only restore."""
+    pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from rangeclip_tpu.cli import convert as convert_cli
+    from rangeclip_tpu.models.depth_unet import DepthUNetConfig
+    from rangeclip_tpu.training.checkpoint import CheckpointManager
+    from rangeclip_tpu.training.optim import make_optimizer
+    from rangeclip_tpu.training.state import create_train_state
+
+    cfg = DepthUNetConfig(encoder_filters=(8, 16, 16, 16, 32),
+                          embedding_dim=EDIM, use_batch_norm=True)
+    state = create_train_state(
+        jax.random.key(3), cfg,
+        make_optimizer(1e-4, freeze_encoder=True), (1, RES, RES, 1)
+    ).replace(step=jnp.int32(5))
+    src = str(tmp_path / "src" / "checkpoints")
+    mgr = CheckpointManager(src)
+    mgr.save(state)
+    mgr.close()
+
+    pth = str(tmp_path / "exported.pth")
+    convert_cli.main(["--checkpoint_dir", src, "--to_pth", pth])
+    ckpt = torch.load(pth, map_location="cpu", weights_only=False)
+    assert ckpt["train_step"] == 5
+    assert "encoder" in ckpt and "decoder" in ckpt
+
+
 def test_cli_convert_rejects_mismatched_model(tmp_path):
     pytest.importorskip("torch")
     import jax

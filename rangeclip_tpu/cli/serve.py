@@ -72,16 +72,25 @@ def build_engine(args):
         # Multi-chip serving (parallel/predict.py): batch sharded over
         # 'data', candidate-table rows over 'model' (--model_parallel),
         # exact cross-shard top-k merge — bit-identical labels to the
-        # single-device folded path.  Per-shard slot counts shrink with
-        # 'model', so the folded formulation stays on the profitable
-        # side of its class-count crossover.
+        # single-device path of the same scoring formulation.
+        # --predict_path dispatches per SHARD: 'auto' applies
+        # folded_is_profitable to the per-shard slot count (inside
+        # make_sharded_predict), so large tables served with a small
+        # 'model' degree fall back to the default scoring path exactly
+        # like the single-device CLIs.
         from rangeclip_tpu.parallel.mesh import make_mesh, replicate
         from rangeclip_tpu.parallel.predict import (
             make_sharded_predict,
             pad_class_table,
+            shard_predict_inputs,
         )
 
         n_model = max(1, getattr(args, "model_parallel", 1))
+        if n_model > jax.device_count():
+            raise SystemExit(
+                f"--model_parallel {n_model} exceeds the device count "
+                f"{jax.device_count()}"
+            )
         n_data = jax.device_count() // n_model
         if args.batch_size % n_data:
             raise SystemExit(
@@ -92,21 +101,23 @@ def build_engine(args):
         mesh = make_mesh(n_data=n_data, n_model=n_model)
         table, ids = pad_class_table(text_table, n_model)
         variables = replicate(mesh, variables)
-        sharded = make_sharded_predict(model, mesh, top_k=args.top_k)
-        # table/ids are request-invariant: place them once
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        table = jax.device_put(table, NamedSharding(mesh, P("model", None)))
-        ids = jax.device_put(ids, NamedSharding(mesh, P("model")))
-        batch_sharding = NamedSharding(mesh, P("data"))
-
-        def predict(variables, depth):
-            depth_in = jax.device_put(jnp.asarray(depth), batch_sharding)
-            return sharded(variables, depth_in, table, ids)
-
+        sharded = make_sharded_predict(model, mesh, top_k=args.top_k,
+                                       predict_path=args.predict_path)
         warm = jnp.zeros(
             (args.batch_size, args.height, args.width, 1), jnp.float32
         )
+        # table/ids are request-invariant: committed to their mesh
+        # placement ONCE here; re-placing a committed array with the same
+        # sharding below is a no-op.
+        _, table, ids = shard_predict_inputs(mesh, warm, table, ids)
+
+        def predict(variables, depth):
+            # single host->shards transfer of the request batch (no
+            # intermediate device-0 hop)
+            depth_in, table_in, ids_in = shard_predict_inputs(
+                mesh, depth, table, ids
+            )
+            return sharded(variables, depth_in, table_in, ids_in)
         jax.block_until_ready(predict(variables, warm))
         return predict, variables, labels
 

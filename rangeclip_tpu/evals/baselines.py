@@ -203,11 +203,21 @@ def evaluate_seg_former(
 
         gt_flat = seg.reshape(-1)
         pred_flat = preds.reshape(-1)
+        # Fixed-shape final batches pad by repeating samples with
+        # sample_valid=0 (data/loader.py) — weight pixels so padding
+        # doesn't bias the accuracy (the other evaluators pass the same
+        # weights into metrics_update).
+        valid = np.asarray(
+            batch.get("sample_valid", np.ones(seg.shape[0])), np.float32
+        )
+        pixel_w = jnp.repeat(
+            jnp.asarray(valid), int(np.prod(seg.shape[1:]))
+        )
         if et is not None:
-            correct += float(jnp.sum(et[gt_flat, pred_flat]))
+            correct += float(jnp.sum(et[gt_flat, pred_flat] * pixel_w))
         else:
-            correct += float(jnp.sum(gt_flat == pred_flat))
-        total += float(gt_flat.size)
+            correct += float(jnp.sum((gt_flat == pred_flat) * pixel_w))
+        total += float(jnp.sum(pixel_w))
 
     pixel_accuracy = correct / total if total > 0 else 0.0
     log(

@@ -166,6 +166,22 @@ class DepthUNet(nn.Module):
             jnp.exp(self.log_temperature_image),
         )
 
+    def native_field(
+        self, depth: jax.Array, normalize: bool = True
+    ) -> jax.Array:
+        """Native-resolution embedding field [B, H/2, W/2, D], optionally
+        skipping the channel L2 normalization (``normalize=False``) for
+        consumers that fuse it themselves — the same contract `predict`
+        uses internally for the Pallas scoring path (the kernel normalizes
+        once, in registers)."""
+        if depth.ndim == 3:
+            depth = depth[..., None]
+        _, encoder_features, final_feature_map = self.depth_encoder(depth, False)
+        return self.depth_decoder(
+            final_feature_map, encoder_features, None, False,
+            normalize=normalize,
+        )
+
     def decode_features(self, depth: jax.Array) -> jax.Array:
         """Pre-head decoder features [B, H/2, W/2, n_filters[-1]] — the
         input to the output conv (decoder.py:75-82).  Feed these to

@@ -45,9 +45,10 @@ def make_mesh(
     if n_data is None:
         n_data = len(devices) // (n_model * n_spatial)
     total = n_data * n_model * n_spatial
-    assert total <= len(devices), (
-        f"mesh {n_data}x{n_spatial}x{n_model} needs more than "
-        f"{len(devices)} devices"
+    assert 0 < total <= len(devices), (
+        f"mesh data={n_data} x spatial={n_spatial} x model={n_model} does "
+        f"not fit {len(devices)} devices (model*spatial alone may exceed "
+        "the device count)"
     )
     grid = np.asarray(devices[:total]).reshape(n_data, n_spatial, n_model)
     return Mesh(grid, ("data", "spatial", "model"))

@@ -32,7 +32,6 @@ forward, and duplicating the forward costs less than all-gathering the
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -40,10 +39,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rangeclip_tpu.models.depth_unet import (
+    NEG_INF,
     DepthUNet,
+    folded_is_profitable,
     predict_folded,
     resize_nearest,
 )
+from rangeclip_tpu.utils.math import l2_normalize
 from rangeclip_tpu.utils.platform import use_tpu_kernels
 
 
@@ -69,28 +71,89 @@ def pad_class_table(
     return table, ids
 
 
+def _local_default_topk(
+    model: DepthUNet,
+    variables,
+    depth: jax.Array,
+    table_slice: jax.Array,
+    ids_slice: jax.Array,
+    top_k: int,
+    interpret: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Default-formulation local scoring (mirrors ``DepthUNet.predict``'s
+    scoring tail, but over a table SLICE whose rows carry global
+    ``ids_slice``): native [B, h, w, D] field, slot matmul, local top-k
+    WITH values (f32 cosine logits — comparable across class shards, the
+    per-pixel norm is shard-invariant).  Returns native-res (idx, val)."""
+    text = l2_normalize(table_slice.astype(jnp.float32), axis=-1)
+    if use_tpu_kernels() or interpret:
+        from rangeclip_tpu.ops.pallas.pixel_text_topk import (
+            fused_pixel_text_topk,
+        )
+
+        field = model.apply(variables, depth, normalize=False,
+                            method=DepthUNet.native_field)
+        B, h, w, _ = field.shape
+        field_t = jnp.transpose(field, (1, 2, 0, 3))
+        idx, val = fused_pixel_text_topk(
+            field_t, text.astype(field.dtype), ids_slice >= 0,
+            top_k=top_k, want_values=True, candidate_ids=ids_slice,
+            interpret=interpret,
+        )
+        idx = idx.reshape(h, w, B, top_k).transpose(2, 0, 1, 3)
+        val = val.reshape(h, w, B, top_k).transpose(2, 0, 1, 3)
+        return idx, val
+    field = model.apply(variables, depth, normalize=True,
+                        method=DepthUNet.native_field)
+    logits = jnp.einsum("bhwd,cd->bhwc", field.astype(jnp.float32), text,
+                        preferred_element_type=jnp.float32)
+    logits = jnp.where(ids_slice[None, None, None, :] >= 0, logits, NEG_INF)
+    val, slot = jax.lax.top_k(logits, top_k)
+    idx = jnp.take(ids_slice, slot, axis=0)
+    return idx, val
+
+
 def make_sharded_predict(
     model: DepthUNet,
     mesh: Mesh,
     top_k: int = 5,
     interpret: bool = False,
+    predict_path: str = "auto",
 ):
-    """Build a jitted ``fn(variables, depth, table, ids) -> topk`` running
-    `predict_folded` over the mesh: batch sharded on 'data', table rows on
-    'model' (pad with :func:`pad_class_table` first), params replicated.
+    """Build a jitted ``fn(variables, depth, table, ids) -> topk`` over the
+    mesh: batch sharded on 'data', table rows on 'model' (pad with
+    :func:`pad_class_table` first), params replicated.
+
+    ``predict_path`` picks the per-shard scoring formulation — 'folded'
+    (`predict_folded`), 'default' (embedding field + slot matmul), or
+    'auto': `folded_is_profitable` on the PER-SHARD slot count, decided at
+    trace time from the table slice's static shape (so a C=2048 table
+    served with model_parallel=1 takes the default path, the same
+    crossover the single-device CLIs dispatch on).
 
     ``depth`` is [B, H, W, 1] with B divisible by the 'data' axis size;
     returns [B, H, W, top_k] global label ids, bit-identical to the
-    single-device folded predict.
+    single-device path of the same formulation.
     """
     n_model = dict(mesh.shape).get("model", 1)
 
     def local_predict(variables, depth, table_slice, ids_slice):
-        idx, val = predict_folded(
-            model, variables, depth, table_slice,
-            candidate_ids=ids_slice, top_k=top_k, want_values=True,
-            upsample=False, interpret=interpret,
+        fold = predict_path == "folded" or (
+            predict_path == "auto"
+            and folded_is_profitable(table_slice.shape[0],
+                                     table_slice.shape[1])
         )
+        if fold:
+            idx, val = predict_folded(
+                model, variables, depth, table_slice,
+                candidate_ids=ids_slice, top_k=top_k, want_values=True,
+                upsample=False, interpret=interpret,
+            )
+        else:
+            idx, val = _local_default_topk(
+                model, variables, depth, table_slice, ids_slice,
+                top_k, interpret,
+            )
         if n_model > 1:
             # [B, h, w, P*k] candidate winners per pixel; one small
             # collective rides the ICI per predict call

@@ -84,6 +84,27 @@ def test_seg_former_low_res_logits_resized():
     assert acc > 0.5
 
 
+def test_seg_former_ignores_padding_samples():
+    """Duplicate padding samples (sample_valid=0, data/loader.py fixed-shape
+    final batches) must not be counted in the SegFormer pixel accuracy."""
+    batches = _loader(1)
+    b = batches[0]
+    # sample 0 will be predicted perfectly, sample 1 (a pad duplicate,
+    # sample_valid=0) completely wrong — accuracy must still be 1.0
+    b["sample_valid"] = np.array([1.0, 0.0], np.float32)
+
+    def oracle(images):
+        logits = np.eye(C, dtype=np.float32)[b["segmentation"]] * 10.0
+        wrong = (b["segmentation"][1] % (C - 1)) + 1
+        logits[1] = np.eye(C, dtype=np.float32)[wrong] * 10.0
+        return logits
+
+    acc = evaluate_seg_former(
+        batches, oracle, C, equivalence_tensor=_identity_equiv(),
+        num_negatives=C)
+    assert acc == 1.0
+
+
 def test_seg_former_equivalence_aware():
     batches = _loader(1)
     batches[0]["segmentation"][:] = 2

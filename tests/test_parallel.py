@@ -185,3 +185,42 @@ def test_sharded_predict_matches_single_device():
             got, np.asarray(want),
             err_msg=f"mesh data={n_data} model={n_model}",
         )
+
+
+def test_sharded_predict_default_path_matches_single_device():
+    """The 'default' (unfolded) sharded formulation — the auto dispatch for
+    per-shard slot counts past the folded crossover — is bit-identical to
+    single-device DepthUNet.predict over the full table."""
+    from rangeclip_tpu.models.depth_unet import DepthUNet, DepthUNetConfig
+    from rangeclip_tpu.parallel.mesh import make_mesh
+    from rangeclip_tpu.parallel.predict import (
+        make_sharded_predict, pad_class_table, shard_predict_inputs,
+    )
+
+    cfg = DepthUNetConfig(
+        encoder_filters=(8, 16, 16, 16, 32), embedding_dim=32,
+        use_batch_norm=True,
+    )
+    model = DepthUNet(cfg)
+    B, H, W, C, K = 4, 32, 32, 100, 5
+    x = jax.random.normal(jax.random.key(1), (B, H, W, 1))
+    vars_ = model.init(jax.random.key(0), x, train=False)
+    table = jax.random.normal(jax.random.key(2), (C, 32))
+
+    want, _, _ = model.apply(
+        vars_, x, table, jnp.ones((C,), bool), K,
+        method=DepthUNet.predict, return_embeddings=False,
+    )
+
+    for n_data, n_model in ((2, 2), (1, 4)):
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        padded, ids = pad_class_table(table, n_model, lane_multiple=False)
+        fn = make_sharded_predict(model, mesh, top_k=K,
+                                  predict_path="default")
+        with jax.sharding.set_mesh(mesh):
+            xd, td, idsd = shard_predict_inputs(mesh, x, padded, ids)
+            got = jax.device_get(fn(vars_, xd, td, idsd))
+        np.testing.assert_array_equal(
+            got, np.asarray(want),
+            err_msg=f"mesh data={n_data} model={n_model}",
+        )

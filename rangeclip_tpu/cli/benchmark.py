@@ -92,13 +92,17 @@ def cmd_throughput(args) -> None:
             state = create_train_state(jax.random.key(0), cfg, opt,
                                        (B, res, res, 1))
             rngnp = np.random.default_rng(0)
-            batch_data = {
+            # device-resident batch: timing must measure the step program,
+            # not a per-iteration host->device re-transfer of ~13 MB
+            # through the (10x-variable) tunnel — the inference timings
+            # above are device-only too
+            batch_data = jax.tree.map(jnp.asarray, {
                 "depth": rngnp.standard_normal((A, B, res, res, 1)).astype(np.float32),
                 "segmentation": rngnp.integers(0, 40, (A, B, res, res)).astype(np.int32),
                 "object_label": np.ones((A, B), np.int32),
                 "image_embeddings": rngnp.standard_normal((A, B, D)).astype(np.float32),
                 "sample_valid": np.ones((A, B), np.float32),
-            }
+            })
             for sampler in args.pixel_sampler:
                 step = make_train_step(
                     model, opt, HybridLossConfig(pixel_sampler=sampler),
@@ -156,8 +160,6 @@ def cmd_robustness(args) -> None:
         build_candidate_mask,
     )
     from rangeclip_tpu.training.checkpoint import CheckpointManager
-    from rangeclip_tpu.training.optim import make_optimizer
-    from rangeclip_tpu.training.state import create_train_state
 
     _, val_loader, _, _, labels = setup_dataloaders(
         args.labeled_metadata_path, args.labels_path,
@@ -186,17 +188,22 @@ def cmd_robustness(args) -> None:
     else:
         if not args.checkpoint_dir:
             raise SystemExit("--subject depth requires --checkpoint_dir")
-        text_provider = get_text_provider(dim=args.embedding_dim)
+        # The text provider MUST match training: a real-CLIP-trained
+        # checkpoint scored against the hash-stub embeddings produces
+        # near-random rows that look like a valid sweep.
+        text_provider = get_text_provider(
+            args.clip_checkpoint_path, args.clip_vocab_path,
+            args.clip_merges_path, dim=args.embedding_dim,
+        )
         text_table = jnp.asarray(text_provider(labels), jnp.float32)
 
         cfg = DepthUNetConfig(use_batch_norm=True,
                               embedding_dim=args.embedding_dim)
         model = DepthUNet(cfg)
-        template = create_train_state(
-            jax.random.key(0), cfg, make_optimizer(0.0),
-            (args.batch_size, args.n_height, args.n_width, 1))
-        state = CheckpointManager(args.checkpoint_dir).restore(template)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # weights-only restore: independent of the training optimizer config
+        params, batch_stats, _ = CheckpointManager(
+            args.checkpoint_dir).restore_weights()
+        variables = {"params": params, "batch_stats": batch_stats}
 
         @jax.jit
         def _predict(variables, depth, cand):
@@ -427,6 +434,12 @@ def main(argv=None) -> None:
     r.add_argument("--n_height", type=int, default=224)
     r.add_argument("--n_width", type=int, default=224)
     r.add_argument("--embedding_dim", type=int, default=512)
+    r.add_argument("--clip_checkpoint_path", default=None,
+                   help="CLIP weights for the text provider — must match "
+                   "what the checkpoint was trained against (stub when "
+                   "omitted, like train/validate/infer)")
+    r.add_argument("--clip_vocab_path", default=None)
+    r.add_argument("--clip_merges_path", default=None)
     r.add_argument("--brightness_levels", nargs="+", type=float,
                    default=[1.0, 0.5, 0.2, 0.1, 0.05, 0.02, 0.01])
     r.add_argument("--saturation_levels", nargs="+", type=float, default=[1.0])

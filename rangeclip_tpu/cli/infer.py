@@ -69,9 +69,6 @@ def main(argv=None) -> None:
         folded_is_profitable,
     )
     from rangeclip_tpu.training.checkpoint import CheckpointManager
-    from rangeclip_tpu.training.optim import make_optimizer
-    from rangeclip_tpu.training.state import create_train_state
-    from rangeclip_tpu.utils.math import l2_normalize
     from rangeclip_tpu.utils.visualization import colorize_segmentation, label_colors
 
     labels = load_candidate_labels(args.labels_path)
@@ -82,7 +79,6 @@ def main(argv=None) -> None:
         dim=args.embedding_dim,
     )
     text_table = jnp.asarray(text_provider(labels), jnp.float32)
-    text_norm = l2_normalize(text_table, axis=-1)
 
     cfg = DepthUNetConfig(
         unet_type=args.unet_architecture,
@@ -90,12 +86,12 @@ def main(argv=None) -> None:
         dtype=jnp.bfloat16 if args.bf16 else None,
     )
     model = DepthUNet(cfg)
-    template = create_train_state(
-        jax.random.key(0), cfg, make_optimizer(0.0),
-        (args.batch_size, args.height, args.width, 1),
-    )
-    state = CheckpointManager(args.checkpoint_dir).restore(template)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # Weights-only restore: works for checkpoints from ANY training config
+    # (weight decay / frozen-encoder change the opt_state pytree, which a
+    # template-based restore would have to match — and inference discards).
+    params, batch_stats, _ = CheckpointManager(
+        args.checkpoint_dir).restore_weights()
+    variables = {"params": params, "batch_stats": batch_stats}
 
     # Open-set streaming: no GT available, so candidates = ALL classes.
     candidate_mask = jnp.ones((num_classes,), bool)

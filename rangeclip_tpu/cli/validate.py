@@ -60,8 +60,6 @@ def main(argv=None) -> None:
     from rangeclip_tpu.models.depth_unet import DepthUNet, DepthUNetConfig
     from rangeclip_tpu.training.checkpoint import CheckpointManager
     from rangeclip_tpu.training.curriculum import get_curriculum_schedule
-    from rangeclip_tpu.training.optim import make_optimizer
-    from rangeclip_tpu.training.state import create_train_state
 
     _, val_loader, test_loader, _, labels = setup_dataloaders(
         args.labeled_metadata_path, args.labels_path,
@@ -87,15 +85,13 @@ def main(argv=None) -> None:
     cfg = DepthUNetConfig(unet_type=args.unet_architecture,
                           embedding_dim=args.embedding_dim, use_batch_norm=True)
     model = DepthUNet(cfg)
-    template = create_train_state(
-        jax.random.key(0), cfg, make_optimizer(0.0),
-        (args.batch_size, args.n_height, args.n_width, 1),
-    )
-    state = CheckpointManager(args.checkpoint_dir).restore(template)
-    step = int(state.step)
+    # Weights-only restore — independent of the training run's optimizer
+    # structure (weight decay / frozen-encoder), which validation discards.
+    params, batch_stats, step = CheckpointManager(
+        args.checkpoint_dir).restore_weights()
 
     best = validate_model(
-        model, state.params, state.batch_stats, loader,
+        model, params, batch_stats, loader,
         text_table, jnp.asarray(medium), jnp.asarray(hard),
         jnp.asarray(eq_tensor), jnp.asarray(eq_map),
         get_curriculum_schedule(1, 1), image_provider,
@@ -107,7 +103,11 @@ def main(argv=None) -> None:
     if args.baselines:
         seg_counts = np.zeros(num_classes, np.int64)
         for batch in loader:
-            vals, counts = np.unique(batch["segmentation"], return_counts=True)
+            # exclude pad duplicates (sample_valid=0) from the majority count
+            valid = np.asarray(batch.get(
+                "sample_valid", np.ones(len(batch["segmentation"])))) > 0
+            vals, counts = np.unique(
+                np.asarray(batch["segmentation"])[valid], return_counts=True)
             seg_counts[vals] += counts
         majority = int(seg_counts.argmax())
         evaluate_majority_model(loader, majority, eq_tensor, eq_map, num_classes)

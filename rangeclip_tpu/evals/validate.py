@@ -214,6 +214,10 @@ def validate_model(
         log_path,
     )
 
+    # Latest (not best) validation loss — the plateau LR schedule keys on
+    # this (optim.py step_metric contract: validation loss per epoch).
+    best_results["latest_val_loss"] = results["avg_loss"]
+
     # Best-result tracking keyed on top-k mIoU (validate.py:234-244)
     if best_results.get("mIoU_tk", 0.0) < results["mIoU_tk"]:
         best_results.update(

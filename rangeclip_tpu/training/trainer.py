@@ -12,8 +12,16 @@ TPU-native changes:
   * the text table is precomputed once and placed replicated on the mesh
     (the reference's rank-0 NCCL broadcast, train_util.py:230-240);
   * frozen CLIP crop embeddings are computed by a separately-jitted tower
-    right before the step (keeping the train step's compile independent);
-  * host-0-only logging/checkpointing via ``jax.process_index() == 0``;
+    right before the step (keeping the train step's compile independent),
+    and skipped entirely when the image loss weight is 0;
+  * multi-process runs execute validation compute and orbax saves on EVERY
+    process in lockstep (multihost jit/orbax requirement); only the IO
+    side effects (logs, TB writers, summaries) are gated on
+    ``jax.process_index() == 0`` like the reference's rank-0 duties;
+  * resume fast-forwards the epoch loop to the restored step's epoch, so
+    the LR schedule and curriculum continue instead of replaying (the
+    reference restarts its epoch loop and schedule from scratch,
+    train_util.py:272/409);
   * restore keeps optimizer state (the reference discards it — SURVEY.md
     section 5 checkpoint quirk, deliberately fixed).
 """
@@ -233,7 +241,9 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
             "resolution": f"{cfg.n_height}x{cfg.n_width}",
             "architecture": cfg.unet_architecture,
             "n_parameters": n_params,
-            "n_train_steps": n_train_steps,
+            "n_train_steps": n_train_steps,  # microbatches (reference unit)
+            "n_optimizer_steps": (max(1, len(train_loader)
+                                      // cfg.accumulation_steps) * n_epoch),
             "learning_rates": list(cfg.learning_rates),
             "learning_schedule": list(cfg.learning_schedule),
             "scheduler": cfg.scheduler_type,
@@ -255,9 +265,24 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
     train_step_count = start_step
     done = False
 
+    # Optimizer steps per epoch: the loader yields floor(n_shard/batch)
+    # microbatches (drop_last) and the step consumes accumulation_steps of
+    # them; leftovers at epoch end are dropped.  Used for (a) the Step X/Y
+    # progress denominator (the reference mixes units here — its
+    # n_train_steps counts microbatches, train_util.py:475-486, an ~8x ETA
+    # overstatement we fix) and (b) fast-forwarding the epoch loop on
+    # resume so the LR schedule and curriculum continue where the
+    # restored step left off instead of replaying from epoch 1.
+    opt_steps_per_epoch = max(1, len(train_loader) // cfg.accumulation_steps)
+    n_opt_steps_total = opt_steps_per_epoch * n_epoch
+    epoch_start = min(start_step // opt_steps_per_epoch, n_epoch - 1) + 1
+    if start_step and epoch_start > 1:
+        log(f"Resuming at epoch {epoch_start}/{n_epoch} "
+            f"(step {start_step}).", log_path)
+
     log(f"{jax.process_index()} Begin training...", log_path)
 
-    for epoch in range(1, n_epoch + 1):
+    for epoch in range(epoch_start, n_epoch + 1):
         if done:
             break
         train_loader.set_epoch(epoch)
@@ -273,10 +298,20 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
         microbatches = []
         image_embs = []
         for batch in train_loader:
-            crops = prepare_image_crops(
-                jnp.asarray(batch["image"]), jnp.asarray(batch["object_bbox"])
-            )
-            image_embs.append(np.asarray(image_provider(crops)))
+            if cfg.w_image > 0:
+                crops = prepare_image_crops(
+                    jnp.asarray(batch["image"]),
+                    jnp.asarray(batch["object_bbox"]),
+                )
+                image_embs.append(np.asarray(image_provider(crops)))
+            else:
+                # the step never reads image_embeddings when the image
+                # loss is off (train_step.py use_image_loss gate) — skip
+                # the frozen CLIP forward, the costliest per-batch host op
+                image_embs.append(
+                    np.zeros((len(batch["object_label"]), cfg.embedding_dim),
+                             np.float32)
+                )
             microbatches.append(batch)
             if len(microbatches) < cfg.accumulation_steps:
                 continue
@@ -327,10 +362,15 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
                                          train_step_count)
 
             if (
-                is_host0
-                and train_step_count >= cfg.validation_start_step
+                train_step_count >= cfg.validation_start_step
                 and train_step_count % cfg.n_step_per_summary == 0
             ):
+                # EVERY process runs the jitted val compute in lockstep
+                # (multi-host jit needs each process to feed its
+                # addressable shards; host-0-only launch would deadlock) —
+                # log_path/summary_writer are None off host 0, so the IO
+                # side effects stay rank-0-only like the reference
+                # (validate.py rank-0 gate, train_util.py:371-390).
                 best_results = validate_model(
                     model, state.params, state.batch_stats, val_loader,
                     text_table, medium_matrix, hard_matrix,
@@ -342,10 +382,13 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
                     n_sample_per_summary=cfg.n_sample_per_summary,
                 )
 
-            if is_host0 and train_step_count % cfg.n_step_per_checkpoint == 0:
-                avg = float(loss_sum) / loss_count if loss_count else 0.0
-                log_training_summary(log_path, train_step_count, n_train_steps,
-                                     start_step, avg, time_start)
+            if train_step_count % cfg.n_step_per_checkpoint == 0:
+                if is_host0:
+                    avg = float(loss_sum) / loss_count if loss_count else 0.0
+                    log_training_summary(log_path, train_step_count,
+                                         n_opt_steps_total, start_step, avg,
+                                         time_start)
+                # all processes participate in the (multihost) orbax save
                 ckpt.save(state)
 
             if cfg.max_steps is not None and train_step_count >= cfg.max_steps:
@@ -361,10 +404,15 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
             )
             if train_writer:
                 train_writer.add_scalar("Loss/train_epoch", avg_epoch, epoch)
-        schedule.step_metric(avg_epoch)
+        # Plateau scheduling keys on the latest VALIDATION loss when any
+        # validation has run (the optim.py step_metric contract; torch's
+        # ReduceLROnPlateau reference usage), falling back to the train
+        # epoch loss before validation_start_step.
+        schedule.step_metric(
+            best_results.get("latest_val_loss", avg_epoch))
 
+    ckpt.save(state)  # all processes (multihost orbax)
     if is_host0:
-        ckpt.save(state)
         log("Training finished.", log_path)
         if train_writer:
             train_writer.close()

@@ -55,16 +55,37 @@ def _init_worker(dataset, env: Dict[str, str]) -> None:
     os.environ.update(env)
 
 
+def _accepts_rng(dataset) -> bool:
+    """Signature inspection, cached per dataset object (also per worker
+    process) — a try/except TypeError around the call would misclassify
+    TypeErrors raised INSIDE __getitem__ as 'no rng kwarg' and silently
+    retry without the deterministic RNG, masking the real error and
+    breaking batch reproducibility."""
+    cached = getattr(dataset, "_rng_kwarg_ok", None)
+    if cached is None:
+        import inspect
+
+        try:
+            cached = "rng" in inspect.signature(
+                dataset.__getitem__).parameters
+        except (TypeError, ValueError):  # builtins without a signature
+            cached = False
+        try:
+            dataset._rng_kwarg_ok = cached
+        except Exception:  # frozen/slotted datasets: re-inspect each time
+            pass
+    return cached
+
+
 def _fetch_with(dataset, args):
     """One sample with a deterministic per-position RNG, so worker count and
     completion order never change the data (the reference's per-worker torch
     seeds are order-dependent)."""
     i, seed, epoch, shard_id, position = args
-    rng = np.random.default_rng((seed, epoch, shard_id, position))
-    try:
+    if _accepts_rng(dataset):
+        rng = np.random.default_rng((seed, epoch, shard_id, position))
         return dataset.__getitem__(i, rng=rng)
-    except TypeError:  # datasets without an rng kwarg
-        return dataset[i]
+    return dataset[i]
 
 
 def _fetch_in_worker(args):
@@ -246,24 +267,49 @@ class ShardedBatchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+        error: List[BaseException] = []
         pool, fetch_fn = self._make_pool()
+
+        def _put(item) -> bool:
+            # bounded puts so an abandoned iteration (consumer gone, queue
+            # full) can't pin the producer thread forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for bi, b in enumerate(batches):
-                    q.put(self._make_batch(b, bi * self.batch_size, pool,
-                                           fetch_fn))
-            finally:
-                q.put(sentinel)
+                    if stop.is_set():
+                        return
+                    if not _put(self._make_batch(b, bi * self.batch_size,
+                                                 pool, fetch_fn)):
+                        return
+            except BaseException as e:  # re-raised in the consumer — a
+                error.append(e)         # swallowed decode error would end
+            finally:                    # the epoch early and silently
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            t.join()
+            if error:
+                raise RuntimeError(
+                    "dataloader producer failed while building a batch"
+                ) from error[0]
+        finally:
+            stop.set()
 
 
 def setup_dataloaders(

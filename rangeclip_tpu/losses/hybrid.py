@@ -203,7 +203,9 @@ def compute_hybrid_loss(
 
     smooth_loss = jnp.float32(0.0)
     if cfg.w_smooth > 0:
-        smooth_loss = total_variation_loss(pixel_embeddings, upsample=s)
+        smooth_loss = total_variation_loss(
+            pixel_embeddings, upsample=s, sample_weight=sample_weight
+        )
 
     total = cfg.w_text * text_loss + cfg.w_image * image_loss + cfg.w_smooth * smooth_loss
 

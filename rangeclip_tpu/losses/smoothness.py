@@ -14,9 +14,21 @@ import jax.numpy as jnp
 
 
 def total_variation_loss(
-    pixel_embeddings: jax.Array, upsample: int = 1
+    pixel_embeddings: jax.Array,
+    upsample: int = 1,
+    sample_weight: jax.Array = None,
 ) -> jax.Array:
     """pixel_embeddings: [B, H, W, D] (NHWC).
+
+    ``sample_weight``: optional [B] 0/1 weights excluding padded batch
+    items (fixed-shape final batches pad with sample_valid=0 duplicates).
+    Implemented as TV(x * w) * B/sum(w): zero items contribute zero
+    variation and zero gradient, and the rescale makes the value the exact
+    reference TV of the valid sub-batch.  With all-ones weights both the
+    multiply (x*1) and the rescale (*1.0) are bitwise identities, so the
+    weighted path is BIT-IDENTICAL to the unweighted one on full batches.
+    Weights are assumed 0/1 (a fractional weight would scale the field
+    inside the |.|, not the loss).
 
     Differences/abs run in the input dtype (halving HBM traffic under the
     bf16 policy — this term is bandwidth-bound); the mean accumulates in
@@ -49,6 +61,14 @@ def total_variation_loss(
     XLA stays the default; the kernel is kept as a benchmarked negative
     result and an opt-in for future hardware.
     """
+    if sample_weight is not None:
+        w = sample_weight.astype(pixel_embeddings.dtype)
+        B = pixel_embeddings.shape[0]
+        pixel_embeddings = pixel_embeddings * w[:, None, None, None]
+        scale = B / jnp.maximum(
+            jnp.sum(sample_weight.astype(jnp.float32)), 1.0
+        )
+        return _tv(pixel_embeddings, int(upsample)) * scale
     return _tv(pixel_embeddings, int(upsample))
 
 

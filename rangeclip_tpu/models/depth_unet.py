@@ -324,14 +324,20 @@ class DepthUNet(nn.Module):
                 preferred_element_type=jnp.float32,
             )
             logits = jnp.where(candidate_mask[None, None, None, :], logits, NEG_INF)
-            _, topk_indices = jax.lax.top_k(logits, top_k)
+            topk_vals, topk_indices = jax.lax.top_k(logits, top_k)
             if candidate_indices is not None:
-                # slot -> global class id (padded slots only win when the
-                # candidate set is smaller than top_k; they map to -1).
-                # Only the XLA branch needs this remap — the Pallas kernel
-                # emits global ids directly (candidate_ids above).
+                # slot -> global class id.  Only the XLA branch needs this
+                # remap — the Pallas kernel emits global ids directly
+                # (candidate_ids above).
                 topk_indices = jnp.take(candidate_indices, topk_indices,
                                         axis=0)
+            # Exhausted candidate set (fewer candidates than top_k): the
+            # remaining picks tie at NEG_INF and would emit arbitrary
+            # (possibly duplicate / non-candidate) slots — emit the -1
+            # no-candidate sentinel instead, matching the Pallas kernels
+            # and predict_folded.  (The reference would crash here:
+            # torch.topk(k) over a smaller candidate list.)
+            topk_indices = jnp.where(topk_vals > -1e29, topk_indices, -1)
 
         if (H, W) != target_shape:
             topk_indices = resize_nearest(topk_indices, target_shape)
@@ -505,6 +511,8 @@ def predict_folded(
         masked = jnp.where(ids >= 0, scores.astype(jnp.float32), NEG_INF)
         topk_values, slot = jax.lax.top_k(masked, top_k)
         topk_indices = jnp.take(ids, slot, axis=0)
+        # exhausted candidate set -> -1 sentinel (see DepthUNet.predict)
+        topk_indices = jnp.where(topk_values > -1e29, topk_indices, -1)
 
     if upsample and (h, w) != target_shape:
         topk_indices = resize_nearest(topk_indices, target_shape)
@@ -550,14 +558,27 @@ def build_candidate_mask(
     Returns: [C] bool mask.
     """
     flat = segmentation.reshape(-1)
-    gt_mask = jnp.zeros((num_classes,), jnp.bool_).at[flat].set(True)
+    if use_tpu_kernels():
+        # The boolean scatter lowers to a serialized per-element path on
+        # TPU (~4 ms / 180k labels, class_presence.py) and this runs
+        # inside every jitted val/baseline step over B*H*W labels — the
+        # MXU one-hot presence kernel computes the same [C] vector ~40x
+        # faster (the loss layer's existing dispatch pattern).
+        from rangeclip_tpu.ops.pallas.class_presence import (
+            fused_class_presence,
+        )
+
+        gt_mask = fused_class_presence(
+            flat, jnp.ones(flat.shape, jnp.float32), num_classes
+        )
+    else:
+        gt_mask = jnp.zeros((num_classes,), jnp.bool_).at[flat].set(True)
 
     gumbel = jax.random.gumbel(key, (num_classes,))
     scores = jnp.where(gt_mask, -jnp.inf, gumbel)
     k = min(num_negatives, num_classes)
-    _, neg_idx = jax.lax.top_k(scores, k)
     # Keep only finite-score picks (i.e. genuine non-GT classes).
-    picked_scores, _ = jax.lax.top_k(scores, k)
+    picked_scores, neg_idx = jax.lax.top_k(scores, k)
     valid = jnp.isfinite(picked_scores)
     neg_mask = jnp.zeros((num_classes,), jnp.bool_).at[neg_idx].max(valid)
     return gt_mask | neg_mask

@@ -116,6 +116,11 @@ def _topk_kernel(emb_ref, text_ref, mask_ref, ids_ref, idx_ref, val_ref=None,
         # argmax via masked min-id (ties -> smallest id, = lax.top_k)
         is_max = scores >= m[None, :]
         idx = jnp.min(jnp.where(is_max, row_ids, SENT), axis=0)
+        # exhausted candidate set (fewer candidates than top_k): every
+        # remaining score is NEG_INF — emit the -1 no-candidate sentinel
+        # (the convention shared with score_topk.py / predict_folded)
+        # instead of a duplicate min-id winner
+        idx = jnp.where(m > jnp.float32(-1e29), idx, -1)
         idx_ref[i, :] = idx
         if val_ref is not None:
             val_ref[i, :] = m

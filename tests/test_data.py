@@ -2,6 +2,7 @@
 synthetic on-disk round trip."""
 
 import os
+import time
 
 import numpy as np
 import pytest
@@ -104,6 +105,40 @@ def test_sharded_loader_partitions_and_pads():
     # drop_last drops it
     l4 = ShardedBatchLoader(ds, list(range(5)), batch_size=3, drop_last=True)
     assert len(list(l4)) == 1
+
+
+def test_sharded_loader_surfaces_producer_errors():
+    """A decode failure inside the prefetch thread must raise in the
+    consumer, not silently end the epoch early (which would desync
+    multi-host lockstep or truncate training with no error)."""
+
+    class Exploding(SyntheticDepthSegDataset):
+        def __getitem__(self, i, rng=None):
+            if i == 3:
+                raise OSError("corrupt png")
+            return super().__getitem__(i, rng=rng)
+
+    ds = Exploding(n_samples=6, resize_shape=(8, 8), num_classes=4)
+    loader = ShardedBatchLoader(ds, list(range(6)), batch_size=2)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(loader)
+
+
+def test_sharded_loader_abandoned_iteration_stops_producer():
+    """Breaking out of iteration mid-epoch (trainer max_steps) must release
+    the producer thread instead of leaving it blocked on a full queue."""
+    import threading
+
+    before = threading.active_count()
+    ds = SyntheticDepthSegDataset(n_samples=30, resize_shape=(8, 8),
+                                  num_classes=4)
+    for _ in range(3):
+        it = iter(ShardedBatchLoader(ds, list(range(30)), batch_size=2,
+                                     prefetch=1))
+        next(it)
+        it.close()  # GeneratorExit mid-epoch
+    time.sleep(1.0)  # bounded puts poll at 0.2s
+    assert threading.active_count() <= before + 1
 
 
 def test_shard_indices_wraps_modularly_for_many_shards():

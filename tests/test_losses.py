@@ -102,6 +102,67 @@ def test_total_variation_matches_torch_l1():
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_total_variation_sample_weight_excludes_padding():
+    """TV with 0/1 sample weights == exact TV of the valid sub-batch, and
+    the all-ones weighted path is BIT-identical to the unweighted one
+    (garbage padded items contribute zero value and zero gradient)."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((3, 8, 9, 6)).astype(np.float32)
+    pad = np.concatenate([x, 1e6 * np.ones((2, 8, 9, 6), np.float32)])
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0])
+
+    want = float(total_variation_loss(jnp.asarray(x)))
+    got = float(total_variation_loss(jnp.asarray(pad), sample_weight=w))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    ones = jnp.ones((3,))
+    assert float(total_variation_loss(jnp.asarray(x), sample_weight=ones)) \
+        == want
+
+    g = jax.grad(lambda t: total_variation_loss(t, sample_weight=w))(
+        jnp.asarray(pad))
+    assert float(jnp.max(jnp.abs(g[3:]))) == 0.0
+    g_ref = jax.grad(lambda t: total_variation_loss(t))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g[:3]), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_weighted_losses_match_torch_reference():
+    """weighted_l1/l2 vs a transcription of loss_utils.py:9-69 — incl. the
+    reference's non-broadcast denominator ([N,1,H,W] weights against
+    [N,3,H,W] losses) and the normalize variants."""
+    from rangeclip_tpu.losses.weighted import weighted_l1_loss, weighted_l2_loss
+
+    rng = np.random.default_rng(3)
+    src = rng.standard_normal((2, 3, 7, 5)).astype(np.float32)  # NCHW order
+    tgt = rng.standard_normal((2, 3, 7, 5)).astype(np.float32)
+    w = (rng.random((2, 1, 7, 5)) > 0.3).astype(np.float32)
+
+    st, tt, wt = (torch.from_numpy(a) for a in (src, tgt, w))
+    eps = 1e-8
+    for normalize in (False, True):
+        l1 = torch.abs(st - tt)
+        l2 = (st - tt) ** 2
+        if normalize:
+            l1 = l1 / (torch.abs(tt) + eps)
+            l2 = l2 / (tt ** 2 + eps)
+        want1 = torch.mean(torch.sum(wt * l1, dim=[1, 2, 3])
+                           / torch.sum(wt, dim=[1, 2, 3])).item()
+        want2 = torch.mean(torch.sum(wt * l2, dim=[1, 2, 3])
+                           / torch.sum(wt, dim=[1, 2, 3])).item()
+        got1 = float(weighted_l1_loss(jnp.asarray(src), jnp.asarray(tgt),
+                                      jnp.asarray(w), normalize=normalize))
+        got2 = float(weighted_l2_loss(jnp.asarray(src), jnp.asarray(tgt),
+                                      jnp.asarray(w), normalize=normalize))
+        np.testing.assert_allclose(got1, want1, rtol=1e-6)
+        np.testing.assert_allclose(got2, want2, rtol=1e-6)
+
+    # w=None counts every element (reference w=ones_like(src))
+    np.testing.assert_allclose(
+        float(weighted_l1_loss(jnp.asarray(src), jnp.asarray(tgt))),
+        torch.mean(torch.abs(st - tt)).item(), rtol=1e-6)
+
+
 def test_total_variation_custom_vjp_matches_autodiff():
     """The fused backward (smoothness.py _tv_bwd) vs XLA autodiff of the
     same forward — including exact ties, where both use JAX's +1 slope."""

@@ -53,6 +53,40 @@ def test_fused_pixel_text_topk_matches_xla():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_topk_exhausted_candidate_set_emits_sentinel():
+    """Fewer candidates than top_k: every path — the Pallas kernel, the
+    masked XLA branch, and the gathered XLA branch — emits the real
+    candidates followed by the -1 no-candidate sentinel (never duplicate
+    or non-candidate ids).  The reference crashes in this regime
+    (torch.topk(k) over a shorter candidate list)."""
+    from rangeclip_tpu.models.depth_unet import NEG_INF
+
+    rng = np.random.default_rng(5)
+    N, D, C, K = 16, 8, 16, 5
+    emb = rng.standard_normal((N, D)).astype(np.float32)
+    text = rng.standard_normal((C, D)).astype(np.float32)
+    mask = np.zeros(C, bool)
+    mask[[3, 9]] = True  # only 2 candidates < K
+
+    text_n = np.asarray(l2_normalize(jnp.asarray(text), axis=-1))
+    idx, _ = fused_pixel_text_topk(
+        jnp.asarray(emb), jnp.asarray(text_n), jnp.asarray(mask),
+        top_k=K, tile_n=16, interpret=True,
+    )
+    idx = np.asarray(idx)
+    assert set(idx[:, 0]) <= {3, 9} and set(idx[:, 1]) <= {3, 9}
+    assert (idx[:, 0] != idx[:, 1]).all()
+    assert (idx[:, 2:] == -1).all()
+
+    # masked XLA branch of DepthUNet.predict (the same tail logic inline)
+    emb_n = np.asarray(l2_normalize(jnp.asarray(emb), axis=-1))
+    logits = jnp.where(jnp.asarray(mask)[None, :],
+                       jnp.asarray(emb_n @ text_n.T), NEG_INF)
+    vals, want = jax.lax.top_k(logits, K)
+    want = jnp.where(vals > -1e29, want, -1)
+    np.testing.assert_array_equal(idx, np.asarray(want))
+
+
 def test_fused_masked_pooling_matches_xla():
     from rangeclip_tpu.ops.pallas.masked_pooling import fused_masked_pooling
 

@@ -69,8 +69,10 @@ def make_clipseg_predict_fn(
     ``num_distractors`` distractors sampled without replacement from the
     remaining non-zero classes; ``logits_fn`` scores the prompts against
     the perturbed RGB; top-k over prompts maps back to global indices.
-    Items with no non-zero GT labels predict label 0 (the reference skips
-    them; a constant-0 row scores identically under the valid-pixel mask).
+    Items with no non-zero GT labels predict label 0; the sweep harness
+    weights such items out of the metrics entirely (robustness_sweep),
+    matching the reference's per-sample skip — scoring a constant-0 row
+    would count every background pixel as correct.
     """
     num_classes = len(labels)
 

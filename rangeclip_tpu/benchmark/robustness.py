@@ -65,9 +65,17 @@ def robustness_sweep(
                     ]
                 )
                 pred = predict_fn(jax.random.fold_in(rng, i), batch, image)
+                # The reference SKIPS items with no non-zero GT labels
+                # (segclip.py per-sample guard) — scoring them would count
+                # every gt==0 pixel as a correct background prediction and
+                # inflate accuracy, so weight them out alongside padding.
+                seg_np = np.asarray(batch["segmentation"])
+                has_gt = (seg_np != 0).any(axis=(1, 2)).astype(np.float32)
                 acc = update(
                     acc, pred, jnp.asarray(batch["segmentation"]), et, ecm,
-                    pixel_weight=jnp.asarray(batch["sample_valid"]),
+                    pixel_weight=jnp.asarray(
+                        np.asarray(batch["sample_valid"], np.float32) * has_gt
+                    ),
                 )
             row = metrics_finalize(acc)
             row.update(brightness=b, saturation=s)

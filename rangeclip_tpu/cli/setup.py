@@ -82,6 +82,21 @@ def cmd_nyu_crops(args) -> None:
     print(f"Wrote {out} from {len(paths)} scenes")
 
 
+def cmd_nyu_labeled(args) -> None:
+    from rangeclip_tpu.setup_tools.nyu import (
+        generate_labeled_patches,
+        load_nyu_labeled_mat,
+    )
+
+    data = load_nyu_labeled_mat(args.mat_path)
+    out = generate_labeled_patches(
+        data["images"], data["depths"], data["labels"], args.output_dir,
+        patch_size=(args.patch_size, args.patch_size),
+        bbox_padding=args.bbox_padding,
+    )
+    print(f"Wrote {out} from {data['images'].shape[0]} labeled scenes")
+
+
 def cmd_combine_metadata(args) -> None:
     from rangeclip_tpu.setup_tools.nyu import combine_metadata_csvs
 
@@ -163,6 +178,15 @@ def main(argv=None) -> None:
     n.add_argument("--min_size", type=int, default=32)
     n.add_argument("--seed", type=int, default=0)
     n.set_defaults(fn=cmd_nyu_crops)
+
+    nl = sub.add_parser("nyu-labeled",
+                        help="per-object labeled crops from the NYUv2 "
+                        "labeled .mat (generate_cropped_patches_nyu.py)")
+    nl.add_argument("--mat_path", required=True)
+    nl.add_argument("--output_dir", required=True)
+    nl.add_argument("--patch_size", type=int, default=128)
+    nl.add_argument("--bbox_padding", type=int, default=20)
+    nl.set_defaults(fn=cmd_nyu_labeled)
 
     m = sub.add_parser("combine-metadata")
     m.add_argument("--inputs", nargs="+", required=True)

@@ -118,6 +118,25 @@ class HashImageEmbedder:
         return self._embed(crops)
 
 
+# One-deep conversion cache: the trainer builds the text AND image
+# providers from the same checkpoint back-to-back, and the conversion
+# re-reads the multi-hundred-MB HF file and converts BOTH towers each
+# call — cache the last (path, config) result so startup loads it once.
+_convert_cache: dict = {}
+
+
+def _converted_checkpoint(checkpoint_path: str, config: CLIPConfig):
+    import os
+
+    from rangeclip_tpu.models.clip.convert import convert_clip_checkpoint
+
+    key = (os.path.abspath(checkpoint_path), repr(config))
+    if key not in _convert_cache:
+        _convert_cache.clear()  # bound memory: one converted model max
+        _convert_cache[key] = convert_clip_checkpoint(checkpoint_path, config)
+    return _convert_cache[key]
+
+
 def get_text_provider(
     checkpoint_path: Optional[str] = None,
     vocab_path: Optional[str] = None,
@@ -127,10 +146,9 @@ def get_text_provider(
 ) -> TextEmbeddingProvider:
     """Real CLIP when checkpoint+vocab are available, hash stub otherwise."""
     if checkpoint_path and vocab_path and merges_path:
-        from rangeclip_tpu.models.clip.convert import convert_clip_checkpoint
         from rangeclip_tpu.models.clip.tokenizer import CLIPTokenizer
 
-        text_params, _ = convert_clip_checkpoint(checkpoint_path, config)
+        text_params, _ = _converted_checkpoint(checkpoint_path, config)
         tokenizer = CLIPTokenizer(vocab_path, merges_path)
         return CLIPTextEmbedder(text_params, tokenizer, config)
     return HashTextEmbedder(dim=dim)
@@ -142,8 +160,6 @@ def get_image_provider(
     config: CLIPConfig = CLIP_VIT_B32,
 ) -> ImageEmbeddingProvider:
     if checkpoint_path:
-        from rangeclip_tpu.models.clip.convert import convert_clip_checkpoint
-
-        _, vision_params = convert_clip_checkpoint(checkpoint_path, config)
+        _, vision_params = _converted_checkpoint(checkpoint_path, config)
         return CLIPImageEmbedder(vision_params, config)
     return HashImageEmbedder(dim=dim)

@@ -55,10 +55,16 @@ def basic_clean(text: str) -> str:
 
 
 class CLIPTokenizer:
+    # CLIP's token regex uses \p{L}+ / \p{N} (unicode letters / numerics).
+    # Python's re has no \p classes; [^\W\d_] matches exactly the unicode
+    # letters (word chars minus digits and underscore) and \d matches the
+    # unicode decimal digits, so e.g. 'café' tokenizes as one word like the
+    # HF tokenizer instead of splitting at the accent.  (The remaining
+    # divergence — non-decimal \p{N} numerals like Ⅻ — does not occur in
+    # label vocabularies.)
     PATTERN = re.compile(
-        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-        if False
-        else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+        r"""|[^\W\d_]+|\d|(?:[^\w\s]|_)+""",
         re.IGNORECASE,
     )
 

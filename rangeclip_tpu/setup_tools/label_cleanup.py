@@ -37,7 +37,19 @@ def remap_label_png(path: str, remap: Dict[int, int], output_path: str) -> None:
     lut = np.zeros(max(remap.keys()) + 1, np.int32)
     for old, new in remap.items():
         lut[old] = new
-    out = lut[np.clip(arr, 0, len(lut) - 1)]
+    # Out-of-range indices are corrupt data: map them to 0 (unlabeled) with
+    # a warning — clipping would silently relabel them as the
+    # alphabetically-last real class.
+    invalid = (arr < 0) | (arr >= len(lut))
+    if invalid.any():
+        import warnings
+
+        warnings.warn(
+            f"{path}: {int(invalid.sum())} pixels with label indices "
+            f"outside [0, {len(lut) - 1}] mapped to 0 (unlabeled)",
+            stacklevel=2,
+        )
+    out = np.where(invalid, 0, lut[np.where(invalid, 0, arr)])
     Image.fromarray(out.astype(np.int32), mode="I").save(output_path)
 
 

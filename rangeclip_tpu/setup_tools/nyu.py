@@ -37,22 +37,38 @@ def load_nyu_h5(path: str, rgb_key: str = "rgb", depth_key: str = "depth"):
 
 
 def load_nyu_labeled_mat(path: str):
-    """-> dict with images/depths/labels arrays from the labeled NYUv2 .mat
-    (v7.3 files are HDF5; older ones go through scipy.io)."""
+    """-> dict with images [N, H, W, 3], depths/labels [N, H, W] from the
+    labeled NYUv2 .mat, normalized to sample-first row-major layout for
+    BOTH storage formats (the consumers iterate samples on axis 0):
+
+      * v7.3 (HDF5 via h5py) reads MATLAB's column-major arrays transposed
+        — images arrive [N, 3, W, H] — and is untangled exactly like the
+        reference (generate_cropped_patches_nyu.py:44-51);
+      * pre-v7.3 (scipy.io.loadmat) keeps MATLAB order — images arrive
+        [H, W, 3, N] — and needs the sample axis moved first (returning it
+        raw would make callers iterate image ROWS as samples, silently
+        emitting garbage patches).
+    """
     try:
         import h5py
 
         with h5py.File(path, "r") as f:
             return {
-                "images": np.asarray(f["images"]),
-                "depths": np.asarray(f["depths"]),
-                "labels": np.asarray(f["labels"]),
+                # [N, 3, W, H] -> [N, H, W, 3] (reference :48-51)
+                "images": np.asarray(f["images"]).transpose(0, 3, 2, 1),
+                "depths": np.asarray(f["depths"]).transpose(0, 2, 1),
+                "labels": np.asarray(f["labels"]).transpose(0, 2, 1),
             }
     except OSError:
         from scipy.io import loadmat
 
         m = loadmat(path)
-        return {k: np.asarray(m[k]) for k in ("images", "depths", "labels")}
+        return {
+            # [H, W, 3, N] -> [N, H, W, 3]
+            "images": np.asarray(m["images"]).transpose(3, 0, 1, 2),
+            "depths": np.asarray(m["depths"]).transpose(2, 0, 1),
+            "labels": np.asarray(m["labels"]).transpose(2, 0, 1),
+        }
 
 
 def generate_random_cropped_patches_h5(
@@ -158,21 +174,34 @@ def generate_csv_paths(
     image_dir: str, depth_dir: str, label_dir: Optional[str], output_path: str
 ) -> str:
     """metadata.csv from the intersection of per-modality directories
-    (setup/nyu_depth_v2/generate_csv_paths.py)."""
-    stems = set(os.path.splitext(f)[0] for f in os.listdir(image_dir))
-    stems &= set(os.path.splitext(f)[0] for f in os.listdir(depth_dir))
+    (setup/nyu_depth_v2/generate_csv_paths.py).
+
+    Rows carry each file's ACTUAL name (a .jpg image that stem-matches a
+    .png depth map must not be written as '<stem>.png'), made relative to
+    the metadata file's directory — the dataset resolves stored paths
+    relative to dirname(metadata), so absolute/cwd-relative dir paths
+    would break once the CSV moves.
+    """
+    def stem_map(d: str) -> Dict[str, str]:
+        return {os.path.splitext(f)[0]: f for f in sorted(os.listdir(d))}
+
+    imgs, deps = stem_map(image_dir), stem_map(depth_dir)
+    stems = set(imgs) & set(deps)
+    labs = stem_map(label_dir) if label_dir else {}
     if label_dir:
-        stems &= set(os.path.splitext(f)[0] for f in os.listdir(label_dir))
+        stems &= set(labs)
+    base = os.path.dirname(os.path.abspath(output_path))
+
+    def rel(d: str, name: str) -> str:
+        return os.path.relpath(os.path.join(os.path.abspath(d), name), base)
+
     with open(output_path, "w", newline="") as f:
         w = csv.writer(f)
         header = ["image_path", "depth_path"] + (["label_path"] if label_dir else [])
         w.writerow(header)
         for stem in sorted(stems):
-            row = [
-                os.path.join(image_dir, stem + ".png"),
-                os.path.join(depth_dir, stem + ".png"),
-            ]
+            row = [rel(image_dir, imgs[stem]), rel(depth_dir, deps[stem])]
             if label_dir:
-                row.append(os.path.join(label_dir, stem + ".png"))
+                row.append(rel(label_dir, labs[stem]))
             w.writerow(row)
     return output_path

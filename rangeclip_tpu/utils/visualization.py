@@ -18,12 +18,13 @@ import numpy as np
 def apply_colormap(x: np.ndarray, colormap: str = "viridis") -> np.ndarray:
     """Normalize a [H, W] array to [0,1] and map through a colormap ->
     [H, W, 3] float (log_utils.py:32-77)."""
-    import matplotlib.cm as cm
+    import matplotlib
 
     arr = np.asarray(x, np.float32)
     lo, hi = float(np.nanmin(arr)), float(np.nanmax(arr))
     norm = (arr - lo) / (hi - lo) if hi > lo else np.zeros_like(arr)
-    return np.asarray(cm.get_cmap(colormap)(norm))[..., :3]
+    # matplotlib.cm.get_cmap is removed in matplotlib 3.11
+    return np.asarray(matplotlib.colormaps[colormap](norm))[..., :3]
 
 
 def label_colors(num_classes: int, seed: int = 0) -> np.ndarray:

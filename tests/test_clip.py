@@ -97,3 +97,36 @@ def test_vision_tower_matches_hf():
     nhwc = jnp.asarray(np.transpose(pix, (0, 2, 3, 1)))
     got = np.asarray(CLIPVisionTower(cfg).apply({"params": params}, nhwc))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_tokenizer_matches_hf_on_unicode(tmp_path):
+    """BPE tokenizer vs HF's CLIPTokenizer on the same (tiny, merge-free)
+    vocab: unicode letters must stay inside words ('café' — CLIP's \\p{L}+,
+    which the previous ASCII-only regex split at the accent), underscores
+    tokenize as punctuation, contractions and digits split per the CLIP
+    pattern."""
+    import json
+
+    from transformers import CLIPTokenizer as HFTok
+
+    from rangeclip_tpu.models.clip.tokenizer import (
+        CLIPTokenizer,
+        bytes_to_unicode,
+    )
+
+    symbols = list(bytes_to_unicode().values())
+    vocab = {}
+    for s in symbols:
+        vocab[s] = len(vocab)
+    for s in symbols:
+        vocab[s + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    vp, mp = str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    json.dump(vocab, open(vp, "w"))
+    open(mp, "w").write("#version: 0.2\n")
+
+    ours = CLIPTokenizer(vp, mp)
+    hf = HFTok(vocab_file=vp, merges_file=mp)
+    for text in ("café table_ it's 42", "Naïve Über-model no.7"):
+        assert ours.encode(text) == hf(text)["input_ids"][1:-1], text

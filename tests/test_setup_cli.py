@@ -96,3 +96,56 @@ def test_pseudo_gt_nms(fixtures):
     lines = open(fixtures / "nms/img0.txt").read().strip().splitlines()
     kept_classes = [int(l.split()[0]) for l in lines]
     assert kept_classes == [1, 3]  # overlapping class-2 box suppressed
+
+
+def test_nyu_labeled_mat_layouts(tmp_path):
+    """load_nyu_labeled_mat normalizes BOTH storage layouts to sample-first
+    [N, H, W(, 3)] (v7.3/h5py arrives MATLAB-transposed [N, 3, W, H]; the
+    scipy path arrives sample-LAST [H, W, 3, N]), and the nyu-labeled CLI
+    writes one correctly-oriented patch triplet per labeled object."""
+    h5py = pytest.importorskip("h5py")
+    from rangeclip_tpu.setup_tools.nyu import load_nyu_labeled_mat
+
+    N, H, W = 2, 12, 10
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 255, (N, H, W, 3)).astype(np.uint8)
+    depths = rng.random((N, H, W)).astype(np.float32)
+    labels = np.zeros((N, H, W), np.uint16)
+    labels[0, 2:6, 3:8] = 7
+    labels[1, 1:4, 1:4] = 2
+
+    mat = tmp_path / "labeled.mat"
+    with h5py.File(mat, "w") as f:  # MATLAB v7.3 layout as h5py reads it
+        f["images"] = images.transpose(0, 3, 2, 1)  # [N, 3, W, H]
+        f["depths"] = depths.transpose(0, 2, 1)     # [N, W, H]
+        f["labels"] = labels.transpose(0, 2, 1)
+
+    data = load_nyu_labeled_mat(str(mat))
+    np.testing.assert_array_equal(data["images"], images)
+    np.testing.assert_array_equal(data["labels"], labels)
+
+    out = tmp_path / "patches"
+    setup_cli.main([
+        "nyu-labeled", "--mat_path", str(mat), "--output_dir", str(out),
+        "--patch_size", "8",
+    ])
+    import pandas as pd
+
+    meta = pd.read_csv(out / "metadata.csv")
+    assert sorted(meta["object_id"]) == [2, 7]
+    for name in meta["image"]:
+        assert Image.open(out / name).size == (8, 8)
+
+    try:
+        from scipy.io import savemat
+    except ImportError:
+        return
+    mat2 = tmp_path / "labeled_v5.mat"
+    savemat(str(mat2), {
+        "images": images.transpose(1, 2, 3, 0),  # [H, W, 3, N]
+        "depths": depths.transpose(1, 2, 0),
+        "labels": labels.transpose(1, 2, 0),
+    })
+    data2 = load_nyu_labeled_mat(str(mat2))
+    np.testing.assert_array_equal(data2["images"], images)
+    np.testing.assert_array_equal(data2["labels"], labels)

@@ -10,6 +10,8 @@ Subcommands:
                     (setup/generate_image_depth_train_files.py)
   nyu-crops         random crops from NYUv2 .h5 scenes + metadata.csv
                     (setup/nyu_depth_v2/generate_random_cropped_patches.py)
+  nyu-labeled       per-object crops from the labeled NYUv2 .mat
+                    (setup/nyu_depth_v2/generate_cropped_patches_nyu.py)
   combine-metadata  merge metadata CSVs (setup/nyu_depth_v2/combine_csv_files.py)
   remove-small      prune classes with < N patches (setup/remove_small_classes.py)
   pseudo-gt         cross-class NMS over detection files -> cls x y w h conf

@@ -20,6 +20,9 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 _SO_PATH = os.path.join(os.path.dirname(__file__), "libpreprocess.so")
+# Must equal preprocess.cpp's preprocess_abi_version(); bump both on any
+# exported-signature or semantics change.
+_ABI_VERSION = 2
 
 
 def lib() -> Optional[ctypes.CDLL]:
@@ -81,6 +84,13 @@ def lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long,
             ]
             cdll.png_decode.restype = ci
+            # ABI stamp: symbol-name presence alone cannot detect a stale
+            # .so whose exported functions changed semantics or argument
+            # lists (preprocess.cpp preprocess_abi_version) — a mismatch
+            # means the rebuild failed and numpy must take over.
+            cdll.preprocess_abi_version.restype = ctypes.c_int64
+            if cdll.preprocess_abi_version() != _ABI_VERSION:
+                return None
         except AttributeError:  # .so predates a source change
             return None
         _LIB = cdll

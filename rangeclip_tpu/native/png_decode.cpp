@@ -86,6 +86,13 @@ int parse(const std::vector<unsigned char>& buf, PngInfo* info,
       if (info->bit_depth != 8 && info->bit_depth != 16)
         return ERR_UNSUPPORTED;
       if (info->width == 0 || info->height == 0) return ERR_FORMAT;
+      // Bound dimensions: corrupt IHDRs otherwise drive a multi-GB
+      // std::vector allocation whose bad_alloc would escape the C ABI and
+      // terminate the loader process (the contract is "error code ->
+      // caller falls back to PIL").  2^15 per side covers every real
+      // dataset image and caps raw buffers at ~6 GB/2 = well under
+      // allocator limits; the int casts downstream also stay exact.
+      if (info->width > 32768 || info->height > 32768) return ERR_UNSUPPORTED;
       have_ihdr = true;
       if (!idat) return 0;  // header-only parse stops here
     } else if (std::memcmp(type, "IDAT", 4) == 0) {
@@ -134,7 +141,8 @@ int png_header(const char* path, int* w, int* h, int* channels,
   return 0;
 }
 
-int png_decode(const char* path, unsigned char* out, long out_size) {
+static int png_decode_impl(const char* path, unsigned char* out,
+                           long out_size) {
   std::vector<unsigned char> buf;
   int rc = read_file(path, buf);
   if (rc) return rc;
@@ -216,6 +224,17 @@ int png_decode(const char* path, unsigned char* out, long out_size) {
     }
   }
   return 0;
+}
+
+int png_decode(const char* path, unsigned char* out, long out_size) {
+  // No C++ exception may cross the C ABI into ctypes (std::terminate):
+  // a bad_alloc from the file/raw buffers becomes an error code and the
+  // caller falls back to PIL.
+  try {
+    return png_decode_impl(path, out, out_size);
+  } catch (...) {
+    return ERR_IO;
+  }
 }
 
 }  // extern "C"

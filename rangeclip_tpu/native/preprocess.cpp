@@ -93,4 +93,10 @@ void depth_transform_f32(const float* src, float* dst, int64_t h_in,
   median_normalize_f32(dst, h_out * w_out);
 }
 
+// ABI stamp checked by the Python loader: bump on ANY change to an
+// exported function's semantics or signature.  A stale .so that merely
+// still HAS every symbol name would otherwise run old code (or segfault
+// on a changed argument list) when a rebuild is impossible (no g++).
+int64_t preprocess_abi_version() { return 2; }
+
 }  // extern "C"

@@ -77,8 +77,13 @@ class ScalarWriter:
             Image.fromarray(img).save(
                 os.path.join(img_dir, f"{safe_tag}_{step:08d}.png")
             )
-        except Exception:
-            pass
+        except Exception as e:
+            # surface the failure once instead of silently dropping every
+            # qualitative summary for the run ("PNG on disk always")
+            import warnings
+
+            warnings.warn(f"add_image({tag!r}) failed to write PNG: {e}",
+                          stacklevel=2)
         if self._tb is not None:
             self._tb.add_image(tag, img, step, dataformats="HWC")
 

@@ -19,7 +19,9 @@ import jax
 def use_tpu_kernels() -> bool:
     override = os.environ.get("RANGECLIP_PLATFORM")
     if override:
-        return override not in ("cpu", "gpu")
+        # case-insensitive, like JAX_PLATFORMS — 'CPU' must not silently
+        # select the Pallas TPU path on a CPU backend
+        return override.lower() not in ("cpu", "gpu")
     return jax.default_backend() not in ("cpu", "gpu")
 
 
@@ -34,9 +36,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     disable.  Returns the directory used (None when disabled/unavailable).
     """
     env = os.environ.get("RANGECLIP_XLA_CACHE")
-    if env == "off":
+    if env == "off" and cache_dir is None:
+        # documented precedence: an explicit cache_dir argument wins over
+        # the env kill-switch (which targets the DEFAULT location)
         return None
-    path = cache_dir or env or os.path.join(
+    path = cache_dir or (env if env != "off" else None) or os.path.join(
         os.path.expanduser("~"), ".cache", "rangeclip_tpu", "xla"
     )
     try:

@@ -7,6 +7,15 @@ stacks the 3x3 weights at the 4 output offsets emits [H/2, W/2, 4*C]
 (all 128 lanes busy), followed by depth-to-space.  Mathematically exact
 (same dots, different output blocking).  Measure both in isolation at the
 bench's tail shapes; only integrate if the isolated win is >1.2x.
+
+RESULT (v5e, 2026-08-18): NEGATIVE — do not integrate.
+  blocked4x4 vs conv3x3 (bf16, batch 128):
+    128^2  96->32: 0.93x      64^2 128->64: 0.87x      64^2 192->64: 0.85x
+  The stride-2 conv reads the same bytes but XLA's windowed-dot emitter
+  already packs multiple low-channel output pixels per MXU pass, so the
+  manual 4x blocking only adds the depth-to-space relayout.
+  split-sum vs concat-conv: 0.94x at 128^2 [32|32], 1.21x at 64^2 [64|64]
+  — mixed and below the bar; the concat the decoder does is not the cost.
 """
 import time
 

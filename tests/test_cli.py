@@ -222,6 +222,44 @@ def test_cli_convert_exports_any_optimizer_config(tmp_path):
     assert "encoder" in ckpt and "decoder" in ckpt
 
 
+def test_cli_export_stablehlo_roundtrip(workspace, tmp_path):
+    """export: serialize the predict program (jax.export StableHLO),
+    deserialize, and require bit-identical labels vs the live function
+    (--verify does the comparison in-process).  Covers both signatures:
+    text table as runtime input, and baked in from a labels CSV."""
+    import json
+
+    from rangeclip_tpu.cli import export as export_cli
+
+    small = ["--encoder_filters", "8", "16", "16", "16", "32",
+             "--embedding_dim", str(EDIM), "--batch_size", "2",
+             "--height", str(RES), "--width", str(RES), "--top_k", "3"]
+
+    out = str(tmp_path / "open_vocab.stablehlo")
+    try:
+        export_cli.main([
+            "--init_random", "--num_classes", "12", "--text_as_input",
+            "--output", out, "--portable", "--verify",
+        ] + small)
+    finally:
+        os.environ.pop("RANGECLIP_PLATFORM", None)  # set by --portable
+    assert os.path.getsize(out) > 0
+    with open(out + ".json") as f:
+        sidecar = json.load(f)
+    assert sidecar["num_classes"] == 12 and sidecar["text_as_input"]
+    assert sidecar["inputs"][1]["shape"] == [12, EDIM]
+
+    baked = str(tmp_path / "baked.stablehlo")
+    export_cli.main([
+        "--init_random", "--labels_path", workspace["labels"],
+        "--output", baked, "--verify",
+    ] + small)
+    with open(baked + ".json") as f:
+        sidecar = json.load(f)
+    assert not sidecar["text_as_input"]
+    assert len(sidecar["inputs"]) == 1
+
+
 def test_cli_convert_rejects_mismatched_model(tmp_path):
     pytest.importorskip("torch")
     import jax

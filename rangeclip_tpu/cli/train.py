@@ -93,6 +93,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help="write a jax.profiler trace of train steps 2-4")
     parser.add_argument("--distributed", action="store_true",
                         help="call jax.distributed.initialize() (multi-host)")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0's coordinator for "
+                             "--distributed outside a managed cluster "
+                             "(where initialize() auto-detects)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--encoder_filters", nargs="+", type=int, default=None,
+                        help="encoder channel widths (default: the "
+                             "reference's ResNet-18 widths); small values "
+                             "for smoke drives")
     return parser
 
 
@@ -107,7 +117,14 @@ def main(argv=None) -> None:
     if args.distributed:
         import jax
 
-        jax.distributed.initialize()
+        if args.coordinator_address:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator_address,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()  # managed-cluster auto-detect
 
     from rangeclip_tpu.training.trainer import TrainerConfig, train_depth_clip_model
 
@@ -144,6 +161,7 @@ def main(argv=None) -> None:
         max_steps=args.max_steps,
         auto_resume=args.auto_resume,
         profile_dir=args.profile_dir,
+        encoder_filters=args.encoder_filters,
     )
     best = train_depth_clip_model(cfg)
     print(f"Best results: {best}")

@@ -110,6 +110,27 @@ def make_val_step(
     return jax.jit(val_step)
 
 
+def _host_local_rows(arr) -> np.ndarray:
+    """This process's contiguous batch rows of a (possibly 'data'-sharded)
+    array — for host-side rendering, where each host only needs the rows
+    that came from its own loader.  Fully-replicated (or plain) arrays
+    fetch whole."""
+    if getattr(arr, "is_fully_replicated", True):
+        return np.asarray(arr)
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    rows = {}
+    for s in shards:  # replicated mesh axes repeat the same batch rows
+        assert s.data.shape[1:] == arr.shape[1:], (
+            "only batch-dim sharding is supported here"
+        )
+        start = s.index[0].start or 0
+        if start not in rows:
+            rows[start] = np.asarray(s.data)
+    return np.concatenate([rows[k] for k in sorted(rows)], axis=0)
+
+
 def validate_model(
     model: DepthUNet,
     params,
@@ -133,12 +154,20 @@ def validate_model(
     val_step_fn: Optional[Callable] = None,
     candidate_labels: Optional[Sequence[str]] = None,
     n_sample_per_summary: int = 0,
+    mesh=None,
 ) -> Dict:
     """Run the full validation loop; returns updated ``best_results``.
 
     With ``candidate_labels`` and ``n_sample_per_summary`` set, the first
     batch's samples are rendered as [depth | image | GT | prediction]
     grids through the summary writer (reference validate.py:140-146).
+
+    With ``mesh`` (the trainer's), every batch is placed 'data'-sharded on
+    it — in a multi-process run each process contributes its val-loader
+    shard to the GLOBAL batch (parallel/mesh.py shard_batch), the jitted
+    step reduces metrics over all of it, and the logged numbers cover the
+    whole validation set (the reference validates rank 0's sampler shard
+    only, validate.py:34).  Host-side crop/CLIP preparation stays local.
     """
     num_classes = text_table.shape[0]
     if val_step_fn is None:
@@ -159,6 +188,14 @@ def validate_model(
             jnp.asarray(batch["image"]), jnp.asarray(batch["object_bbox"])
         )
         image_embeddings = jnp.asarray(image_provider(crops))
+        if mesh is not None:
+            from rangeclip_tpu.parallel.mesh import shard_batch
+
+            placed = shard_batch(
+                mesh, dict(jbatch, image_embeddings=image_embeddings)
+            )
+            image_embeddings = placed.pop("image_embeddings")
+            jbatch = placed
 
         acc, loss_parts, pred_topk = val_step_fn(
             params, batch_stats, jbatch, jax.random.fold_in(rng, i),
@@ -177,7 +214,7 @@ def validate_model(
         ):
             from rangeclip_tpu.utils.visualization import prediction_grid
 
-            pred_t1 = np.asarray(pred_topk)[..., 0]
+            pred_t1 = _host_local_rows(pred_topk)[..., 0]
             depth_np = np.asarray(batch["depth"])
             image_np = np.asarray(batch.get("image")) if "image" in batch else None
             seg_np = np.asarray(batch["segmentation"])

@@ -50,8 +50,37 @@ def make_mesh(
         f"not fit {len(devices)} devices (model*spatial alone may exceed "
         "the device count)"
     )
-    grid = np.asarray(devices[:total]).reshape(n_data, n_spatial, n_model)
+    procs = sorted({d.process_index for d in devices})
+    if len(procs) > 1:
+        # Multi-process (the reference's multi-GPU torchrun, train.py:15-19):
+        # the grid must give every process an equal, whole number of 'data'
+        # rows, laid out process-major, so that each process's addressable
+        # shards of a 'data'-sharded batch are exactly its own loader's
+        # contiguous block (shard_batch assembles per-process local batches
+        # with jax.make_array_from_process_local_data).
+        nproc = len(procs)
+        assert total % nproc == 0 and (total // nproc) % (n_spatial * n_model) == 0, (
+            f"mesh of {total} devices cannot give {nproc} processes whole "
+            f"'data' rows of {n_spatial * n_model} devices each"
+        )
+        per_proc = total // nproc
+        by_proc = {p: [] for p in procs}
+        for d in devices:
+            by_proc[d.process_index].append(d)
+        assert all(len(v) >= per_proc for v in by_proc.values()), (
+            f"uneven local device counts {[len(by_proc[p]) for p in procs]} "
+            f"cannot supply {per_proc} mesh devices per process"
+        )
+        sel = [d for p in procs for d in by_proc[p][:per_proc]]
+    else:
+        sel = list(devices[:total])
+    grid = np.asarray(sel).reshape(n_data, n_spatial, n_model)
     return Mesh(grid, ("data", "spatial", "model"))
+
+
+def mesh_process_count(mesh: Mesh) -> int:
+    """Number of distinct processes whose devices participate in ``mesh``."""
+    return len({d.process_index for d in mesh.devices.flat})
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any], batch_axis: int = 0
@@ -63,8 +92,17 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any], batch_axis: int = 0
 
     Works for both [B, ...] and accumulation-major [A, B, ...] layouts
     (pass batch_axis=1 for the latter).
+
+    Single process: a plain ``device_put``.  Multi-process (the reference's
+    DDP, one loader shard per rank): every process passes its own LOCAL
+    batch and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the global batch dim is
+    ``local * process_count`` with process p's rows at block p (the
+    process-major 'data' axis ``make_mesh`` guarantees).  ``device_put``
+    cannot do this: it asserts the same value on every process.
     """
     n_spatial = dict(mesh.shape).get("spatial", 1)
+    nproc = mesh_process_count(mesh)
     out = {}
     for k, v in batch.items():
         ndim = np.ndim(v)
@@ -73,7 +111,15 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any], batch_axis: int = 0
             spec[batch_axis] = "data"
         if n_spatial > 1 and ndim >= batch_axis + 3:
             spec[batch_axis + 1] = "spatial"  # the H dim of [B, H, W, ...]
-        out[k] = jax.device_put(v, NamedSharding(mesh, P(*spec)))
+        sharding = NamedSharding(mesh, P(*spec))
+        if nproc > 1 and ndim > batch_axis:
+            gshape = list(np.shape(v))
+            gshape[batch_axis] *= nproc
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, np.asarray(v), tuple(gshape)
+            )
+        else:
+            out[k] = jax.device_put(v, sharding)
     return out
 
 

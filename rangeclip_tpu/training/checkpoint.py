@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import orbax.checkpoint as ocp
 
 from rangeclip_tpu.training.state import TrainState
@@ -51,6 +52,28 @@ class CheckpointManager:
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         return restored
 
+    def _raw_restore(self, step: int):
+        """Template-free restore as host numpy arrays, independent of the
+        device topology the checkpoint was SAVED under.
+
+        A multi-process run (tests/test_multihost.py) saves arrays whose
+        recorded shardings name devices from every process; a plain
+        ``manager.restore(step)`` then refuses to load them anywhere else
+        ("available devices are different").  Restoring each leaf as
+        ``np.ndarray`` via the checkpoint's own metadata sidesteps saved
+        shardings entirely — the reference's ``torch.load(map_location=
+        'cpu')`` portability (model.py:368-371).
+        """
+        path = os.path.join(self.directory, str(step), "default")
+        ckptr = ocp.PyTreeCheckpointer()
+        meta_tree = ckptr.metadata(path).item_metadata.tree
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
+        )
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+        )
+
     def restore_weights(self, step: Optional[int] = None):
         """Raw (template-free) restore of just (params, batch_stats, step).
 
@@ -63,7 +86,7 @@ class CheckpointManager:
             step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"No checkpoint found in {self.directory}")
-        raw = self._mgr.restore(step)
+        raw = self._raw_restore(step)
         params = jax.tree.map(jnp.asarray, raw["params"])
         batch_stats = jax.tree.map(jnp.asarray, raw.get("batch_stats", {}))
         return params, batch_stats, int(raw["step"])
@@ -85,7 +108,7 @@ class CheckpointManager:
         # Raw (template-free) restore: the source run's optimizer structure
         # need not match this run's (e.g. a plain-Adam pretrain restored
         # into a frozen-encoder multi_transform finetune).
-        raw = self._mgr.restore(step)
+        raw = self._raw_restore(step)
         params = dict(template.params)
         params["depth_encoder"] = jax.tree.map(
             jnp.asarray, raw["params"]["depth_encoder"]

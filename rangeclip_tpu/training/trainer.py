@@ -71,6 +71,9 @@ class TrainerConfig:
     labeled_metadata_path: str = ""
     labels_path: str = ""
     equivalence_dict_path: str = ""
+    # Per-PROCESS microbatch size, like the reference's per-GPU batch
+    # (train_segmentation_model.sh: batch 2 per GPU x 2 GPUs).  The global
+    # microbatch is batch_size * jax.process_count().
     batch_size: int = 2
     n_height: int = 224
     n_width: int = 224
@@ -106,6 +109,10 @@ class TrainerConfig:
     # checkpoint_path automatically (preemption recovery; beyond the
     # reference's manual --restore_path_model)
     profile_dir: Optional[str] = None  # jax.profiler trace of steps 2..4
+    # None -> the flagship ResNet-18 widths (encoder.py:42-53); smaller
+    # tuples are for smoke drives / CPU tests (matches the convert/export
+    # CLIs' --encoder_filters knob).
+    encoder_filters: Optional[Sequence[int]] = None
 
 
 def _accumulate_microbatches(microbatches, image_embeddings):
@@ -176,12 +183,16 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
         if cfg.freeze_encoder is not None
         else cfg.restore_path_encoder is not None
     )
+    model_kwargs = {}
+    if cfg.encoder_filters is not None:
+        model_kwargs["encoder_filters"] = tuple(cfg.encoder_filters)
     model_cfg = DepthUNetConfig(
         unet_type=cfg.unet_architecture,
         embedding_dim=cfg.embedding_dim,
         use_batch_norm=cfg.use_batch_norm,
         dtype=jnp.bfloat16 if cfg.bf16 else None,
         freeze_encoder=freeze_encoder,
+        **model_kwargs,
     )
     model = DepthUNet(model_cfg)
     optimizer = make_optimizer(cfg.w_weight_decay, freeze_encoder=freeze_encoder)
@@ -212,10 +223,15 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
     start_step = int(state.step)
 
     # --- mesh placement -----------------------------------------------
-    # The data axis must divide the per-step batch; use the largest divisor
-    # of batch_size that fits the device count (full device count in the
-    # production config, fewer when debugging with tiny batches).
-    n_data = math.gcd(cfg.batch_size, jax.device_count())
+    # The data axis must divide the GLOBAL per-step batch
+    # (batch_size per process x process_count, the reference's per-GPU
+    # batch semantics) and give every process a whole number of rows; use
+    # process_count times the largest divisor of the local batch that fits
+    # the local device count (full device count in the production config,
+    # fewer when debugging with tiny batches).
+    n_data = jax.process_count() * math.gcd(
+        cfg.batch_size, jax.local_device_count()
+    )
     mesh = make_mesh(n_data=n_data)
     state = replicate(mesh, state)
     text_table = replicate(mesh, jnp.asarray(text_table_np, jnp.float32))
@@ -380,6 +396,7 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
                     val_step_fn=val_step,
                     candidate_labels=candidate_labels,
                     n_sample_per_summary=cfg.n_sample_per_summary,
+                    mesh=mesh,
                 )
 
             if train_step_count % cfg.n_step_per_checkpoint == 0:

@@ -98,22 +98,26 @@ def _bwd_kernel(inv_temp_ref, coeff_ref, samples_ref, labels_ref, valid_ref,
     # ``delta`` in place — two fewer [TN, C] f32 tiles live than the naive
     # form, which is what bounds the backward's row tile in VMEM.
     S = labels_ref.shape[0]
+    # wsum needs no [TN, C] work — accumulate it first so delta can start
+    # from e * (W/Z) and ONE slot loop computes each onehot once (the
+    # two-loop form recomputed every [TN, C] compare; merging drops S full
+    # VPU passes over the score tile).
     wsum = jnp.zeros((TN,), jnp.float32)
+    for s in range(S):
+        wsum = wsum + coeff_ref[0] * valid_ref[s, :]
+
+    delta = e * (wsum * inv_z)[:, None]
     wpick = jnp.zeros((TN,), jnp.float32)
     for s in range(S):
         onehot = cols == labels_ref[s, :][:, None]
         w = coeff_ref[0] * valid_ref[s, :]  # [TN]
-        wsum = wsum + w
         wpick = wpick + w * jnp.sum(jnp.where(onehot, logits, 0.0), axis=1)
-
-    delta = e * (wsum * inv_z)[:, None]
-    for s in range(S):
-        onehot = cols == labels_ref[s, :][:, None]
-        w = coeff_ref[0] * valid_ref[s, :]
         delta = delta - jnp.where(onehot, w[:, None], 0.0)
 
-    exp_logit = jnp.sum(jnp.where(mask_ref[:][None, :] != 0, e * logits, 0.0),
-                        axis=1) * inv_z
+    # No mask select needed: masked columns have logits == NEG_INF (finite,
+    # -1e30), so e == exp(NEG_INF - m) underflows to exactly 0 and
+    # e * logits is -0.0 — the sum is bit-identical to the masked form.
+    exp_logit = jnp.sum(e * logits, axis=1) * inv_z
     dtau_ref[0, :] = wpick - wsum * exp_logit
 
     # d samples through logits and the L2 normalize (same bf16-operand

@@ -49,9 +49,11 @@ import time
 
 REF_BASELINE_MAPS_PER_SEC = 300.0
 
-# Throughput sweet spot measured on v5e: 32 -> 2683, 64 -> 3343,
-# 128 -> 3839, 256 -> 3801 maps/s (batching amortizes fixed per-dispatch
-# and per-kernel overheads until HBM working-set pressure flattens it).
+# Throughput sweet spot measured on v5e (default-path sweep: 32 -> 2683,
+# 64 -> 3343, 128 -> 3839, 256 -> 3801 maps/s; re-swept after the folded
+# head landed: 128 -> 5500, 192 -> 4753, 256 -> 5138 maps/s).  Batching
+# amortizes fixed per-dispatch and per-kernel overheads until HBM
+# working-set pressure flattens it; 128 stays the sweet spot.
 BATCH = int(os.environ.get("BENCH_BATCH", 128))
 RES = 256
 NUM_CLASSES = 512

@@ -124,6 +124,11 @@ def main(argv=None) -> None:
                 process_id=args.process_id,
             )
         else:
+            assert args.num_processes is None and args.process_id is None, (
+                "--num_processes/--process_id have no effect without "
+                "--coordinator_address (outside a managed cluster all "
+                "three must be given together)"
+            )
             jax.distributed.initialize()  # managed-cluster auto-detect
 
     from rangeclip_tpu.training.trainer import TrainerConfig, train_depth_clip_model

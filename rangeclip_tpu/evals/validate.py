@@ -111,24 +111,26 @@ def make_val_step(
 
 
 def _host_local_rows(arr) -> np.ndarray:
-    """This process's contiguous batch rows of a (possibly 'data'-sharded)
-    array — for host-side rendering, where each host only needs the rows
-    that came from its own loader.  Fully-replicated (or plain) arrays
-    fetch whole."""
+    """This process's contiguous batch rows of a (possibly sharded) array —
+    for host-side rendering, where each host only needs the rows that came
+    from its own loader.  Fully-replicated (or plain) arrays fetch whole.
+
+    Assembled shard-by-shard from ``addressable_shards``, so it supports
+    sharding over non-batch dims too (e.g. the 'spatial' H axis of
+    parallel/mesh.py's 2x2x2 layout); replicated mesh axes repeat the same
+    global index and overwrite with identical data."""
     if getattr(arr, "is_fully_replicated", True):
         return np.asarray(arr)
-    shards = sorted(
-        arr.addressable_shards, key=lambda s: s.index[0].start or 0
-    )
-    rows = {}
-    for s in shards:  # replicated mesh axes repeat the same batch rows
-        assert s.data.shape[1:] == arr.shape[1:], (
-            "only batch-dim sharding is supported here"
-        )
+    blocks: Dict[int, np.ndarray] = {}
+    for s in arr.addressable_shards:
         start = s.index[0].start or 0
-        if start not in rows:
-            rows[start] = np.asarray(s.data)
-    return np.concatenate([rows[k] for k in sorted(rows)], axis=0)
+        buf = blocks.get(start)
+        if buf is None:
+            n_rows = s.data.shape[0]
+            buf = np.empty((n_rows,) + arr.shape[1:], dtype=arr.dtype)
+            blocks[start] = buf
+        buf[(slice(None),) + tuple(s.index[1:])] = np.asarray(s.data)
+    return np.concatenate([blocks[k] for k in sorted(blocks)], axis=0)
 
 
 def validate_model(
@@ -178,16 +180,20 @@ def validate_model(
     n_batches = 0
 
     for i, batch in enumerate(dataloader):
+        # Stay host-side until shard_batch/jit does the single upload:
+        # pre-uploading with jnp.asarray would make the multi-process
+        # branch of shard_batch (which assembles the global array from
+        # process-LOCAL numpy) fetch every field back over the tunnel.
         jbatch = {
-            "depth": jnp.asarray(batch["depth"]),
-            "segmentation": jnp.asarray(batch["segmentation"]),
-            "object_label": jnp.asarray(batch["object_label"]),
-            "sample_valid": jnp.asarray(batch["sample_valid"]),
+            "depth": batch["depth"],
+            "segmentation": batch["segmentation"],
+            "object_label": batch["object_label"],
+            "sample_valid": batch["sample_valid"],
         }
         crops = prepare_image_crops(
             jnp.asarray(batch["image"]), jnp.asarray(batch["object_bbox"])
         )
-        image_embeddings = jnp.asarray(image_provider(crops))
+        image_embeddings = image_provider(crops)
         if mesh is not None:
             from rangeclip_tpu.parallel.mesh import shard_batch
 
@@ -196,6 +202,8 @@ def validate_model(
             )
             image_embeddings = placed.pop("image_embeddings")
             jbatch = placed
+        else:
+            image_embeddings = jnp.asarray(image_embeddings)
 
         acc, loss_parts, pred_topk = val_step_fn(
             params, batch_stats, jbatch, jax.random.fold_in(rng, i),
@@ -237,18 +245,25 @@ def validate_model(
         avg_smoothness_loss=float(avg[3]),
     )
 
+    # Console output is a host-0-only duty like the reference's rank-0
+    # gate (validate.py:34) — every process computes the global metrics
+    # in lockstep, but only one narrates them.
+    console = jax.process_index() == 0
     log(f"[Val] [Step {step}] Top-1 pixel accuracy (equiv): "
-        f"{results['pixel_accuracy_t1']:.4f}", log_path)
+        f"{results['pixel_accuracy_t1']:.4f}", log_path, to_console=console)
     log(f"[Val] [Step {step}] Top-k pixel accuracy (equiv): "
-        f"{results['pixel_accuracy_tk']:.4f}", log_path)
-    log(f"[Val] [Step {step}] Top-1 mIoU (equiv): {results['mIoU_t1']:.4f}", log_path)
-    log(f"[Val] [Step {step}] Top-k mIoU (equiv): {results['mIoU_tk']:.4f}", log_path)
+        f"{results['pixel_accuracy_tk']:.4f}", log_path, to_console=console)
+    log(f"[Val] [Step {step}] Top-1 mIoU (equiv): {results['mIoU_t1']:.4f}",
+        log_path, to_console=console)
+    log(f"[Val] [Step {step}] Top-k mIoU (equiv): {results['mIoU_tk']:.4f}",
+        log_path, to_console=console)
     log(
         f"[Val] Step {step} | Loss: {results['avg_loss']:.4f}, "
         f"Text Contrastive: {results['avg_text_contrastive_loss']:.4f}, "
         f"Image Contrastive: {results['avg_image_contrastive_loss']:.4f}, "
         f"Smoothness: {results['avg_smoothness_loss']:.4f}",
         log_path,
+        to_console=console,
     )
 
     # Latest (not best) validation loss — the plateau LR schedule keys on
@@ -273,6 +288,7 @@ def validate_model(
             f"Best validation loss: {best_results['loss']:.4f} at step "
             f"{best_results['step']}",
             log_path,
+            to_console=console,
         )
 
     if summary_writer is not None:

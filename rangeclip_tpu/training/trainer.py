@@ -205,7 +205,7 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
     if cfg.auto_resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         log(f"Auto-resumed from step {int(state.step)} "
-            f"(preemption recovery).", log_path)
+            f"(preemption recovery).", log_path, to_console=is_host0)
     elif cfg.restore_path_encoder:
         enc_ckpt = CheckpointManager(cfg.restore_path_encoder)
         enc_params, enc_stats = enc_ckpt.restore_encoder_params(state)
@@ -214,11 +214,13 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
             "Restored encoder weights"
             + (" (frozen-encoder finetune)." if freeze_encoder else "."),
             log_path,
+            to_console=is_host0,
         )
     elif cfg.restore_path_model:
         restore_mgr = CheckpointManager(cfg.restore_path_model)
         state = restore_mgr.restore(state)
-        log(f"Restored checkpoint at step {int(state.step)}.", log_path)
+        log(f"Restored checkpoint at step {int(state.step)}.", log_path,
+            to_console=is_host0)
 
     start_step = int(state.step)
 
@@ -294,7 +296,7 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
     epoch_start = min(start_step // opt_steps_per_epoch, n_epoch - 1) + 1
     if start_step and epoch_start > 1:
         log(f"Resuming at epoch {epoch_start}/{n_epoch} "
-            f"(step {start_step}).", log_path)
+            f"(step {start_step}).", log_path, to_console=is_host0)
 
     log(f"{jax.process_index()} Begin training...", log_path)
 
@@ -349,7 +351,8 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
             if cfg.profile_dir and train_step_count == start_step + 4:
                 jax.block_until_ready(state)
                 jax.profiler.stop_trace()
-                log(f"Profiler trace written to {cfg.profile_dir}", log_path)
+                log(f"Profiler trace written to {cfg.profile_dir}", log_path,
+                    to_console=is_host0)
             loss_sum = (info["total_loss"] if loss_sum is None
                         else loss_sum + info["total_loss"])
             loss_count += 1

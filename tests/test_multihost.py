@@ -22,6 +22,8 @@ import os
 import socket
 import subprocess
 import sys
+import threading
+import time
 
 import numpy as np
 import pytest
@@ -197,10 +199,29 @@ def test_two_process_training_matches_single_process_simulation(tmp_path):
         )
         for i in range(2)
     ]
-    outputs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outputs.append(out)
+    # Drain both pipes CONCURRENTLY: the workers are coupled by gloo
+    # collectives, so blocking on one's pipe while the other fills its
+    # (undrained) pipe past the OS buffer would deadlock both.
+    outputs = [None] * len(procs)
+
+    def _drain(i, p):
+        outputs[i] = p.communicate()[0]
+
+    threads = [
+        threading.Thread(target=_drain, args=(i, p), daemon=True)
+        for i, p in enumerate(procs)
+    ]
+    for t in threads:
+        t.start()
+    deadline = time.monotonic() + 900
+    for t in threads:
+        t.join(timeout=max(0.0, deadline - time.monotonic()))
+    if any(t.is_alive() for t in threads):
+        for p in procs:  # kill BOTH so no orphan keeps the port/coordinator
+            p.kill()
+        for t in threads:
+            t.join(timeout=60)
+        pytest.fail("multihost workers timed out (killed)")
     for i, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
 

@@ -224,3 +224,25 @@ def test_sharded_predict_default_path_matches_single_device():
             got, np.asarray(want),
             err_msg=f"mesh data={n_data} model={n_model}",
         )
+
+
+def test_host_local_rows_reassembles_spatially_sharded_arrays():
+    """_host_local_rows must reassemble this host's batch rows even when
+    non-batch dims are sharded too (the 'spatial' H axis of the 2x2x2
+    layout) — a data-sharded-only assumption would drop H halves."""
+    from rangeclip_tpu.evals.validate import _host_local_rows
+
+    mesh = make_mesh(n_data=2, n_model=2, n_spatial=2)
+    want = np.arange(4 * 8 * 6, dtype=np.int32).reshape(4, 8, 6)
+    arr = jax.device_put(
+        want, NamedSharding(mesh, P("data", "spatial", None))
+    )
+    np.testing.assert_array_equal(_host_local_rows(arr), want)
+
+    # batch-dim-only sharding (replicated elsewhere) still round-trips
+    arr2 = jax.device_put(want, NamedSharding(mesh, P("data", None, None)))
+    np.testing.assert_array_equal(_host_local_rows(arr2), want)
+
+    # fully-replicated arrays fetch whole
+    arr3 = jax.device_put(want, NamedSharding(mesh, P(None, None, None)))
+    np.testing.assert_array_equal(_host_local_rows(arr3), want)

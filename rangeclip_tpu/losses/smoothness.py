@@ -60,6 +60,14 @@ def total_variation_loss(
     small blocks are DMA-bound and the seam passes re-read the adjoint), so
     XLA stays the default; the kernel is kept as a benchmarked negative
     result and an opt-in for future hardware.
+
+    Also measured and REJECTED (experiments/tv_bwd_ab.py, 32x128^2x512
+    bf16 on v5e): a "one-pass" backward expressing the gradient directly
+    in masked neighbor slopes of x (each pad feeding exactly one consumer,
+    hoping XLA fuses the whole thing into one halo-read pass) — 12.15 vs
+    9.72 ms, 25% SLOWER and bit-identical.  XLA materializes the four
+    masked slope fields instead of two sign fields, so traffic goes UP;
+    letting it CSE+materialize sh/sv is the better schedule.
     """
     if sample_weight is not None:
         w = sample_weight.astype(pixel_embeddings.dtype)

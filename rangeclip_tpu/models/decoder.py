@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from rangeclip_tpu.ops.blocks import Conv2d, DecoderBlock
@@ -98,4 +99,24 @@ class DepthDecoder(nn.Module):
 
         if target_shape is not None:
             x = resize_nearest(x, target_shape)
-        return l2_normalize(x, axis=-1) if normalize else x
+        if not normalize:
+            return x
+        # The native-resolution head normalize is a fused Pallas pass on
+        # TPU in the bf16 perf mode: it reads the output conv through its
+        # native {3,0,2,1} layout and emits the standard layout downstream
+        # kernels want, absorbing the relayout XLA would otherwise insert
+        # (ops/pallas/l2_normalize.py; measured 69.8 -> 66.4 ms/step at
+        # 1x32 @ 256^2, experiments/l2norm_ab.py).  fp32 — the parity
+        # mode — keeps the XLA formulation (reduction-order identical to
+        # the CPU run); resized full-res fields (target_shape set) keep it
+        # too, since their producer layout is not the conv's.
+        if target_shape is None and x.dtype == jnp.bfloat16:
+            from rangeclip_tpu.ops.pallas.l2_normalize import (
+                field_kernel_applicable,
+                fused_l2_normalize_field,
+            )
+            from rangeclip_tpu.utils.platform import use_tpu_kernels
+
+            if use_tpu_kernels() and field_kernel_applicable(x.shape):
+                return fused_l2_normalize_field(x)
+        return l2_normalize(x, axis=-1)

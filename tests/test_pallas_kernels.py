@@ -606,3 +606,74 @@ def test_sample_pixel_multiplicities_kernel_path_matches(monkeypatch):
         monkeypatch.delenv("RANGECLIP_PLATFORM")
         np.testing.assert_array_equal(np.asarray(w_ref), np.asarray(w_k))
         np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_k))
+
+
+def test_fused_l2_normalize_matches_xla_values_and_grads():
+    from rangeclip_tpu.ops.pallas.l2_normalize import (
+        field_kernel_applicable,
+        fused_l2_normalize,
+        fused_l2_normalize_field,
+    )
+
+    assert field_kernel_applicable((8, 4, 16, 128))
+    assert not field_kernel_applicable((3, 4, 16, 128))  # B % 8
+    assert not field_kernel_applicable((8, 4, 12, 128))  # W % 8
+    assert not field_kernel_applicable((8, 4, 16, 96))   # D % 128
+
+    def ref_fn(x):
+        return jnp.sum(jnp.sin(l2_normalize(x.astype(jnp.float32), axis=-1)))
+
+    for variant in (fused_l2_normalize, fused_l2_normalize_field):
+        shapes = ([(8, 4, 16, 128)] if variant is fused_l2_normalize_field
+                  else [(8, 4, 16, 128), (64, 256)])
+        for shape in shapes:
+            for dtype, rtol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+                x = jax.random.normal(
+                    jax.random.key(0), shape, jnp.float32).astype(dtype)
+                y = variant(x, True)
+                assert y.dtype == dtype and y.shape == shape
+                y_ref = l2_normalize(x.astype(jnp.float32), axis=-1)
+                np.testing.assert_allclose(
+                    np.asarray(y, np.float32), np.asarray(y_ref),
+                    rtol=rtol, atol=rtol)
+                g = jax.grad(lambda x: jnp.sum(jnp.sin(
+                    variant(x, True).astype(jnp.float32))))(x)
+                g_ref = jax.grad(ref_fn)(x.astype(jnp.float32))
+                np.testing.assert_allclose(
+                    np.asarray(g, np.float32), np.asarray(g_ref),
+                    rtol=rtol, atol=rtol)
+
+    # All-zero rows (norm < eps): the kernels stay FINITE (y = x/eps = 0,
+    # dx = g/eps) where XLA's autodiff of the same composite NaNs on the
+    # 0/0 inside the sqrt chain — a measure-zero input on real embeddings,
+    # documented divergence in the kernel's favor.
+    x0 = jnp.zeros((8, 128), jnp.float32)
+    assert np.all(np.asarray(fused_l2_normalize(x0, True)) == 0.0)
+    g0 = jax.grad(lambda x: jnp.sum(fused_l2_normalize(x, True)))(x0)
+    assert np.all(np.isfinite(np.asarray(g0)))
+
+
+def test_decoder_dispatches_fused_l2_normalize(monkeypatch):
+    """bf16 + TPU backend + native resolution -> the field kernel output
+    (interpret mode) must match the XLA normalize the CPU path produces."""
+    from jax.experimental.pallas import tpu as pltpu
+    from rangeclip_tpu.models.depth_unet import DepthUNet, DepthUNetConfig
+
+    cfg = DepthUNetConfig(
+        encoder_filters=(8, 16, 16, 16, 32), embedding_dim=128,
+        use_batch_norm=True, dtype=jnp.bfloat16,
+    )
+    model = DepthUNet(cfg)
+    depth = jax.random.normal(jax.random.key(0), (8, 32, 32, 1), jnp.float32)
+    variables = model.init(jax.random.key(1), depth, train=False)
+
+    field_cpu = model.apply(variables, depth,
+                            method=DepthUNet.forward_native)[0]
+    monkeypatch.setenv("RANGECLIP_PLATFORM", "tpu")
+    with pltpu.force_tpu_interpret_mode():
+        field_tpu = model.apply(variables, depth,
+                                method=DepthUNet.forward_native)[0]
+    monkeypatch.delenv("RANGECLIP_PLATFORM")
+    np.testing.assert_allclose(
+        np.asarray(field_tpu, np.float32), np.asarray(field_cpu, np.float32),
+        rtol=2e-2, atol=2e-2)

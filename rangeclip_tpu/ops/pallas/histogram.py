@@ -92,6 +92,15 @@ def fused_histogram(
     B, N = idx.shape
     rows = -(-n_bins // _Q)
     rows_padded = max(-(-rows // 8) * 8, 8)
+    # The two in-kernel bf16 one-hots are [rows, K] + [Q, K]: at the
+    # canonical 65536 bins (rows=256) the default K=8192 costs ~8 MB and
+    # is the measured-fastest, but rows scale with n_bins — 512^2 training
+    # (262144 bins, rows=1024) would want 16 MB for the A one-hot alone
+    # and Mosaic rejects the kernel (scoped vmem 18.4M > 16M).  Cap K so
+    # the one-hots stay within ~10 MB; fewer-loop-steps still wins below
+    # the cap.
+    vmem_cap = (10 * 2**20) // ((rows_padded + _Q) * 2)
+    chunk = min(chunk, max(vmem_cap // 128 * 128, 128))
     chunk = min(chunk, -(-N // 128) * 128)
     pad = (-N) % chunk
     if pad:

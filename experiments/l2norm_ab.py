@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import rangeclip_tpu.models.decoder as decoder_mod
+import rangeclip_tpu.ops.pallas.l2_normalize as l2n_mod
 from rangeclip_tpu.losses.hybrid import HybridLossConfig
 from rangeclip_tpu.models.depth_unet import DepthUNet, DepthUNetConfig
 from rangeclip_tpu.ops.pallas.l2_normalize import (
@@ -55,7 +56,13 @@ def build_step(variant):
     text = jax.random.normal(jax.random.key(1), (C, D))
     med = jnp.zeros((C, C), bool)
 
+    # The decoder head now dispatches the field kernel ITSELF (decoder.py
+    # field_kernel_applicable gate, landed with this experiment's winner) —
+    # disable that gate for the duration of the trace so each variant
+    # measures its intended path rather than the shipped default.
     orig = decoder_mod.l2_normalize
+    orig_gate = l2n_mod.field_kernel_applicable
+    l2n_mod.field_kernel_applicable = lambda shape: False
     if variant == "fused":
         decoder_mod.l2_normalize = (
             lambda x, axis=-1: fused_l2_normalize(x))
@@ -71,6 +78,7 @@ def build_step(variant):
         jax.block_until_ready(sstate)
     finally:
         decoder_mod.l2_normalize = orig
+        l2n_mod.field_kernel_applicable = orig_gate
     return run, sstate, info
 
 

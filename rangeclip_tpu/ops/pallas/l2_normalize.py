@@ -68,6 +68,10 @@ def _specs(x, rows_target=2048):
     (1, rh, W, D) blocks, flat inputs (tile, D) row blocks."""
     if x.ndim == 4:
         B, H, W, D = x.shape
+        if W % 8 or D % 128:
+            raise ValueError(
+                f"fused_l2_normalize: field shape {x.shape} needs W % 8 "
+                f"== 0 and D % 128 == 0 — use utils.math.l2_normalize")
         rh = max(rows_target // W, 1)
         while H % rh:
             rh -= 1
@@ -78,6 +82,10 @@ def _specs(x, rows_target=2048):
                          memory_space=pltpu.VMEM),
         )
     n, D = x.shape
+    if n % 8 or D % 128:
+        raise ValueError(
+            f"fused_l2_normalize: flat shape {x.shape} needs N % 8 == 0 "
+            f"and D % 128 == 0 — use utils.math.l2_normalize")
     tile = rows_target
     while n % tile:
         tile //= 2
@@ -170,20 +178,28 @@ def _bwd_kernel_t(xt_ref, g_ref, dx_ref):
 
 def field_kernel_applicable(shape) -> bool:
     """[B, h, w, D] shapes the field variant supports: sublane/lane
-    divisibility for both block orientations."""
+    divisibility for both block orientations, plus a valid VMEM tile for
+    BOTH passes (the 2-operand backward's 1024-row budget is the tighter
+    one — B > 128 would need a sub-8 w-tile, so such batches fall back
+    to the XLA formulation instead of failing Mosaic compilation)."""
     if len(shape) != 4:
         return False
     B, _, W, D = shape
-    return B % 8 == 0 and W % 8 == 0 and D % 128 == 0
+    return (B % 8 == 0 and W % 8 == 0 and D % 128 == 0
+            and _pick_wb(W, B, n_ops=2) is not None)
 
 
-def _pick_wb(W: int, B: int, n_ops: int) -> int:
-    """Largest w-tile keeping n_ops + 1 blocks under the VMEM budget."""
+def _pick_wb(W: int, B: int, n_ops: int):
+    """Largest w-tile that divides W, is a multiple of 8 (the out block's
+    sublane dim), and keeps n_ops + 1 blocks under the VMEM budget.
+    Returns None when no such tile exists (caller must fall back)."""
     budget_rows = 2048 if n_ops == 1 else 1024
-    wb = max(min(budget_rows // B, W), 8)
-    while W % wb:
+    wb = min(budget_rows // B, W) // 8 * 8
+    while wb >= 8:
+        if W % wb == 0:
+            return wb
         wb -= 8
-    return max(wb, 8)
+    return None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -198,6 +214,10 @@ def fused_l2_normalize_field(x: jax.Array, interpret: bool = False
 def _field_fwd_run(x, interpret):
     B, H, W, D = x.shape
     wb = _pick_wb(W, B, n_ops=1)
+    if wb is None:
+        raise ValueError(
+            f"fused_l2_normalize_field: no valid w-tile for shape "
+            f"{x.shape} — gate calls on field_kernel_applicable()")
     xt = jnp.transpose(x, (1, 2, 0, 3))
     return pl.pallas_call(
         _fwd_kernel_t,
@@ -218,6 +238,10 @@ def _field_fwd(x, interpret):
 def _field_bwd(interpret, x, g):
     B, H, W, D = x.shape
     wb = _pick_wb(W, B, n_ops=2)
+    if wb is None:
+        raise ValueError(
+            f"fused_l2_normalize_field backward: no valid w-tile for "
+            f"shape {x.shape} — gate calls on field_kernel_applicable()")
     xt = jnp.transpose(x, (1, 2, 0, 3))
     dx_t = pl.pallas_call(
         _bwd_kernel_t,

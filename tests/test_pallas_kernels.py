@@ -619,12 +619,35 @@ def test_fused_l2_normalize_matches_xla_values_and_grads():
     assert not field_kernel_applicable((3, 4, 16, 128))  # B % 8
     assert not field_kernel_applicable((8, 4, 12, 128))  # W % 8
     assert not field_kernel_applicable((8, 4, 16, 96))   # D % 128
+    # Over-budget batches (no w-tile >= 8 fits the backward's 1024-row
+    # VMEM budget) must report inapplicable, not fail Mosaic compilation.
+    assert not field_kernel_applicable((256, 4, 16, 128))
+
+    # _pick_wb regression: must terminate with a valid multiple-of-8
+    # divisor of W for every applicable shape (a previous version
+    # decremented by 8 from an unaligned start and hung the trace for
+    # e.g. B=24/96 at W=128).
+    from rangeclip_tpu.ops.pallas.l2_normalize import _pick_wb
+    for Bsz in (8, 16, 24, 32, 40, 48, 88, 96, 104, 128):
+        for W in (8, 16, 24, 64, 96, 128, 256):
+            for n_ops in (1, 2):
+                wb = _pick_wb(W, Bsz, n_ops)
+                budget = 2048 if n_ops == 1 else 1024
+                if wb is not None:
+                    assert wb % 8 == 0 and W % wb == 0
+                    assert wb * Bsz <= budget
+                else:
+                    assert budget // Bsz < 8
 
     def ref_fn(x):
         return jnp.sum(jnp.sin(l2_normalize(x.astype(jnp.float32), axis=-1)))
 
     for variant in (fused_l2_normalize, fused_l2_normalize_field):
-        shapes = ([(8, 4, 16, 128)] if variant is fused_l2_normalize_field
+        # (24, 2, 128, 128) exercises a budget-limited w-tile that does not
+        # divide W on the first try (fwd wb=64, bwd wb=32 — the shape whose
+        # tile search previously hung at trace time).
+        shapes = ([(8, 4, 16, 128), (24, 2, 128, 128)]
+                  if variant is fused_l2_normalize_field
                   else [(8, 4, 16, 128), (64, 256)])
         for shape in shapes:
             for dtype, rtol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):

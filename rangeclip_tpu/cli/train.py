@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
     # Hardware settings
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute policy (fp32 params)")
+    parser.add_argument("--ddp_parity", action="store_true",
+                        help="reference-exact multi-device semantics: "
+                             "per-replica BN statistics and per-rank losses "
+                             "over local batch shards, gradients pmean'd "
+                             "(torch DDP, train_util.py:338) instead of the "
+                             "default global-batch sync-BN formulation")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="stop after N optimizer steps (smoke runs)")
     parser.add_argument("--seed", type=int, default=0)
@@ -162,6 +168,7 @@ def main(argv=None) -> None:
         w_image=args.w_image,
         w_smooth=args.w_smooth,
         bf16=args.bf16,
+        ddp_parity=args.ddp_parity,
         seed=args.seed,
         max_steps=args.max_steps,
         auto_resume=args.auto_resume,

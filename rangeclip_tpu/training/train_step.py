@@ -27,19 +27,31 @@ to ICI all-reduces over the 'data'-sharded dimension.  That is exactly
 sync-BN over the global batch — NOT the reference's per-replica DDP BN
 (each torch rank normalizes with its local microbatch statistics).  The
 global-batch variant is the TPU-idiomatic choice (deterministic, no
-per-replica stat drift) but it is a documented semantic difference: a
-reference-exact multi-device parity run would need per-replica stats via
-``shard_map`` with ``bn_axis_name`` plumbed to a sub-axis, which no config
-currently enables.
+per-replica stat drift) and remains the default.
+
+``ddp_parity=True`` opts into the reference-exact multi-device semantics
+instead: the per-microbatch loss+grad runs inside ``jax.shard_map`` over
+the 'data' axis, so each device computes the FULL hybrid loss on its
+local batch shard exactly as one torch DDP rank does — per-replica BN
+statistics (local mean/var), per-replica loss normalizations (the
+image-contrast InfoNCE pairs each rank's local items only, matching
+dataloader.py:205-306 running per-process), then a ``pmean`` of the
+gradients (DDP's allreduce, train_util.py:338).  Running BN stats are
+pmean-merged across replicas after each update — the one deliberate
+divergence from torch DDP, which lets per-rank stats drift and
+checkpoints rank 0's (a pmean merge is deterministic and
+layout-invariant; documented in PARITY.md).  Proven equivalent to a
+manual per-shard DDP simulation in tests/test_parallel.py.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import Mesh, PartitionSpec as P
 
 from rangeclip_tpu.losses.hybrid import (
     HybridLossConfig,
@@ -54,45 +66,19 @@ from rangeclip_tpu.models.depth_unet import DepthUNet
 from rangeclip_tpu.training.state import TrainState
 
 
-def make_train_step(
+def make_microbatch_loss(
     model: DepthUNet,
-    optimizer: optax.GradientTransformation,
     loss_config: HybridLossConfig = HybridLossConfig(),
-    accum_steps: int = 8,
-    donate: bool = True,
     native_losses: bool = True,
-    hoist_sampling: bool = True,
 ) -> Callable:
-    """Build the jitted train step.
+    """One microbatch's hybrid loss — the function whose value_and_grad the
+    train step accumulates.  Exposed so the DDP-parity test can build the
+    per-shard oracle from the exact same pieces.
 
-    The returned function has signature
-      step(state, batch, rng, lr, pct_medium, pct_hard,
-           text_table, medium_matrix, hard_matrix) -> (state, loss_info)
-
-    ``batch`` is a dict with a leading accumulation axis A == accum_steps:
-      depth          [A, B, H, W, 1] float32
-      segmentation   [A, B, H, W]    int32
-      object_label   [A, B]          int32
-      image_embeddings [A, B, D]     float32 (frozen CLIP crop embeddings;
-                                     zeros when the image loss is disabled)
-      sample_valid   [A, B]          float32
-
-    ``native_losses=True`` (default) evaluates every loss term at the
-    decoder's NATIVE resolution (H/2): the full-res field is a nearest x2
-    upsample, and CE / TV / area pooling all commute with that upsample
-    exactly (hybrid.py label_upsample) — identical losses and gradients
-    with ~4x less HBM traffic (the train step is bandwidth-bound).
-    ``native_losses=False`` is the literal full-resolution formulation for
-    parity runs.
+    Signature: (params, batch_stats, mb, rng, pct_medium, pct_hard,
+    text_table, medium_matrix, hard_matrix) -> (total, (info, new_stats)).
     """
     use_image_loss = loss_config.w_image > 0
-
-    # Hoisting applies to the multinomial sampler only (the histogram
-    # scatter has no grad path to trip on, and the gather sampler needs
-    # the forward's field); ``hoist_sampling=False`` keeps the sampler
-    # inline for the bit-identity test.
-    hoist_multinomial = (hoist_sampling
-                         and loss_config.pixel_sampler == "multinomial")
 
     def microbatch_loss(params, batch_stats, mb, rng, pct_m, pct_h,
                         text_table, medium_matrix, hard_matrix):
@@ -141,7 +127,98 @@ def make_train_step(
         )
         return total, (info, updated["batch_stats"])
 
-    grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
+    return microbatch_loss
+
+
+def make_train_step(
+    model: DepthUNet,
+    optimizer: optax.GradientTransformation,
+    loss_config: HybridLossConfig = HybridLossConfig(),
+    accum_steps: int = 8,
+    donate: bool = True,
+    native_losses: bool = True,
+    hoist_sampling: bool = True,
+    ddp_parity: bool = False,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Build the jitted train step.
+
+    The returned function has signature
+      step(state, batch, rng, lr, pct_medium, pct_hard,
+           text_table, medium_matrix, hard_matrix) -> (state, loss_info)
+
+    ``batch`` is a dict with a leading accumulation axis A == accum_steps:
+      depth          [A, B, H, W, 1] float32
+      segmentation   [A, B, H, W]    int32
+      object_label   [A, B]          int32
+      image_embeddings [A, B, D]     float32 (frozen CLIP crop embeddings;
+                                     zeros when the image loss is disabled)
+      sample_valid   [A, B]          float32
+
+    ``native_losses=True`` (default) evaluates every loss term at the
+    decoder's NATIVE resolution (H/2): the full-res field is a nearest x2
+    upsample, and CE / TV / area pooling all commute with that upsample
+    exactly (hybrid.py label_upsample) — identical losses and gradients
+    with ~4x less HBM traffic (the train step is bandwidth-bound).
+    ``native_losses=False`` is the literal full-resolution formulation for
+    parity runs.
+
+    ``ddp_parity=True`` (requires ``mesh``, DP-only) reproduces torch
+    DDP's multi-device semantics exactly — per-replica BN statistics and
+    per-replica loss computation over each device's local batch shard,
+    gradients pmean'd — instead of the default global-batch formulation.
+    See the module docstring for the precise contract.
+    """
+    # Hoisting applies to the multinomial sampler only (the histogram
+    # scatter has no grad path to trip on, and the gather sampler needs
+    # the forward's field); ``hoist_sampling=False`` keeps the sampler
+    # inline for the bit-identity test.  Under ddp_parity the sampler must
+    # run inside the per-rank shard_map (each rank draws from its own
+    # stream over its own shard), so the global hoist is disabled.
+    hoist_multinomial = (hoist_sampling
+                         and not ddp_parity
+                         and loss_config.pixel_sampler == "multinomial")
+
+    microbatch_loss = make_microbatch_loss(model, loss_config, native_losses)
+    local_grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
+    grad_fn = local_grad_fn
+
+    if ddp_parity:
+        if mesh is None:
+            raise ValueError("ddp_parity=True requires the mesh")
+        for axis, size in mesh.shape.items():
+            if axis != "data" and size > 1:
+                raise ValueError(
+                    "ddp_parity is the reference's DDP (data-parallel only) "
+                    f"semantics; mesh axis {axis!r} has size {size} > 1")
+
+        def local_grad(params, batch_stats, mb, mb_rng, pct_m, pct_h,
+                       text, medm, hardm):
+            # Independent per-rank RNG streams, like torch DDP's per-rank
+            # seeding: pixel/contrast draws on rank r are decorrelated from
+            # rank 0's instead of replaying the same realization per shard.
+            mb_rng = jax.random.fold_in(mb_rng, jax.lax.axis_index("data"))
+            (loss, (info, new_stats)), grads = local_grad_fn(
+                params, batch_stats, mb, mb_rng, pct_m, pct_h,
+                text, medm, hardm,
+            )
+            # DDP's gradient allreduce (train_util.py:338).  Loss/info are
+            # pmean'd for logging (torch logs rank 0's local loss; the mean
+            # is deterministic).  Running BN stats are pmean-merged — the
+            # documented divergence from torch's drifting per-rank stats.
+            pmean = lambda t: jax.tree.map(
+                lambda x: jax.lax.pmean(x, "data"), t)
+            return (pmean(loss), (pmean(info), pmean(new_stats))), pmean(grads)
+
+        grad_fn = jax.shard_map(
+            local_grad,
+            # the abstract mesh: shard_map under jit must agree with the
+            # jax.sharding.set_mesh context the trainer establishes
+            mesh=mesh.abstract_mesh,
+            in_specs=(P(), P(), P("data"), P(), P(), P(), P(), P(), P()),
+            out_specs=((P(), (P(), P())), P()),
+            check_vma=False,
+        )
 
     def train_step(
         state: TrainState,
@@ -243,4 +320,16 @@ def make_train_step(
         info["grad_norm"] = optax.global_norm(grads)
         return new_state, info
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    if not ddp_parity:
+        return jitted
+
+    # The shard_map binds mesh axes by name through the context mesh; the
+    # step establishes it itself so callers (trainer, tests) need no
+    # set_mesh of their own.  Re-entering an already-set identical mesh is
+    # a no-op.
+    def with_mesh(*args, **kwargs):
+        with jax.sharding.set_mesh(mesh):
+            return jitted(*args, **kwargs)
+
+    return with_mesh

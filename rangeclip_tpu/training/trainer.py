@@ -104,6 +104,10 @@ class TrainerConfig:
     use_batch_norm: bool = True
     seed: int = 0
     bf16: bool = False
+    # Reference-exact multi-device semantics (torch DDP): per-replica BN
+    # statistics + per-rank local losses under shard_map, gradients
+    # pmean'd.  Default False = global-batch sync-BN (TPU-idiomatic).
+    ddp_parity: bool = False
     max_steps: Optional[int] = None  # early-exit knob for smoke runs
     auto_resume: bool = False  # pick up the latest checkpoint in
     # checkpoint_path automatically (preemption recovery; beyond the
@@ -246,7 +250,8 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
         w_text=cfg.w_text, w_image=cfg.w_image, w_smooth=cfg.w_smooth
     )
     train_step = make_train_step(model, optimizer, loss_cfg,
-                                 cfg.accumulation_steps)
+                                 cfg.accumulation_steps,
+                                 ddp_parity=cfg.ddp_parity, mesh=mesh)
     val_step = make_val_step(model, loss_cfg)
     schedule = make_lr_schedule(cfg.scheduler_type, cfg.learning_rates,
                                 cfg.learning_schedule)
@@ -271,6 +276,8 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
             "devices": jax.device_count(),
             "mesh": dict(mesh.shape),
             "precision": "bf16" if cfg.bf16 else "fp32",
+            "bn_semantics": ("per-replica (ddp_parity)" if cfg.ddp_parity
+                             else "global-batch sync-BN"),
             "checkpoint_path": ckpt_root,
         })
         train_writer = ScalarWriter(event_path + "-train")

@@ -77,3 +77,35 @@ def test_trainer_end_to_end(tmp_path):
 
     # results log exists
     assert os.path.exists(str(tmp_path / "ckpt" / "results.txt"))
+
+
+@pytest.mark.slow
+def test_trainer_ddp_parity_smoke(tmp_path):
+    """--ddp_parity wiring through the trainer: the shard_map train step
+    builds against the trainer's own mesh and runs a real optimizer step
+    (semantics proven in test_parallel; this covers the integration)."""
+    from rangeclip_tpu.training.trainer import TrainerConfig, train_depth_clip_model
+
+    data = write_synthetic_dataset(str(tmp_path / "data"), n_samples=8,
+                                   shape=(32, 32), num_classes=8)
+    cfg = TrainerConfig(
+        labeled_metadata_path=data["metadata"],
+        labels_path=data["labels"],
+        equivalence_dict_path=data["similarity"],
+        batch_size=2,
+        n_height=32,
+        n_width=32,
+        learning_rates=[1e-3],
+        learning_schedule=[1],
+        checkpoint_path=str(tmp_path / "ckpt"),
+        n_step_per_checkpoint=100,
+        n_step_per_summary=100,
+        validation_start_step=100,  # skip validation; train-step smoke only
+        accumulation_steps=2,
+        embedding_dim=32,
+        max_steps=1,
+        ddp_parity=True,
+        encoder_filters=(8, 16, 16, 16, 32),
+    )
+    train_depth_clip_model(cfg)
+    assert os.path.exists(str(tmp_path / "ckpt" / "results.txt"))

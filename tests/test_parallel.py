@@ -226,6 +226,103 @@ def test_sharded_predict_default_path_matches_single_device():
         )
 
 
+def test_ddp_parity_matches_per_shard_simulation():
+    """ddp_parity=True is the reference-exact DDP semantics: each device
+    computes the full hybrid loss on its LOCAL batch shard (per-replica BN
+    statistics, per-replica loss normalizations, per-rank RNG streams) and
+    gradients are pmean'd (train_util.py:338).  Oracle: an explicit Python
+    loop over shards running the very same microbatch loss on each slice,
+    merging exactly as documented."""
+    import optax
+
+    from rangeclip_tpu.training.train_step import make_microbatch_loss
+
+    rng = np.random.default_rng(3)
+    A = 2
+    batch_np = _batch(rng, A=A)
+    text_np = rng.standard_normal((C, D)).astype(np.float32)
+    med_np = np.zeros((C, C), bool)
+
+    model = DepthUNet(CFG)
+    opt = optax.sgd(1.0)
+    n_shards = 2
+    mesh = make_mesh(n_data=n_shards, n_model=1)
+    step = make_train_step(
+        model, opt, HybridLossConfig(), accum_steps=A,
+        ddp_parity=True, mesh=mesh,
+    )
+    state = create_train_state(jax.random.key(0), CFG, opt, (B, H, W, 1))
+    step_rng, lr = jax.random.key(7), jnp.float32(1e-3)
+    with jax.sharding.set_mesh(mesh):
+        state_sh = shard_state(mesh, state)
+        batch = shard_batch(mesh, dict(batch_np), batch_axis=1)
+        text = replicate(mesh, jnp.asarray(text_np))
+        med = replicate(mesh, jnp.asarray(med_np))
+        new_state, info = step(
+            state_sh, batch, step_rng, lr,
+            jnp.float32(0.25), jnp.float32(0.5), text, med, med,
+        )
+    got_params = jax.device_get(new_state.params)
+    got_stats = jax.device_get(new_state.batch_stats)
+    got_loss = float(info["total_loss"])
+
+    # --- oracle: explicit per-shard DDP ---------------------------------
+    mb_loss = make_microbatch_loss(model, HybridLossConfig())
+    gfn = jax.value_and_grad(mb_loss, has_aux=True)
+    state0 = create_train_state(jax.random.key(0), CFG, opt, (B, H, W, 1))
+    params, stats = state0.params, state0.batch_stats
+    mean_over = lambda trees: jax.tree.map(
+        lambda *xs: sum(xs) / len(xs), *trees)
+    grads_acc = jax.tree.map(jnp.zeros_like, params)
+    loss_acc = 0.0
+    shard = B // n_shards
+    for idx in range(A):
+        mb_rng = jax.random.fold_in(step_rng, idx)
+        per_shard = []
+        for r in range(n_shards):
+            sl = slice(r * shard, (r + 1) * shard)
+            mb = {k: jnp.asarray(v[idx][sl]) for k, v in batch_np.items()}
+            rank_rng = jax.random.fold_in(mb_rng, r)
+            (loss, (_, nstats)), grads = gfn(
+                params, stats, mb, rank_rng,
+                jnp.float32(0.25), jnp.float32(0.5),
+                jnp.asarray(text_np), jnp.asarray(med_np),
+                jnp.asarray(med_np),
+            )
+            per_shard.append((loss, nstats, grads))
+        loss_acc += float(mean_over([p[0] for p in per_shard]))
+        stats = mean_over([p[1] for p in per_shard])
+        grads_acc = jax.tree.map(
+            jnp.add, grads_acc, mean_over([p[2] for p in per_shard]))
+    grads = jax.tree.map(lambda g: g / A, grads_acc)
+    # SGD(1.0) scaled by lr, exactly as the train step applies updates.
+    want_params = jax.tree.map(lambda p, g: p - 1e-3 * g, params, grads)
+
+    np.testing.assert_allclose(got_loss, loss_acc / A, rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(got_params),
+                    jax.tree.leaves(jax.device_get(want_params))):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
+    for a, b in zip(jax.tree.leaves(got_stats),
+                    jax.tree.leaves(jax.device_get(stats))):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-7)
+
+
+def test_ddp_parity_rejects_model_sharded_mesh():
+    import optax
+
+    mesh = make_mesh(n_data=2, n_model=2)
+    with pytest.raises(ValueError, match="data-parallel only"):
+        make_train_step(
+            DepthUNet(CFG), optax.sgd(1.0), HybridLossConfig(),
+            accum_steps=2, ddp_parity=True, mesh=mesh,
+        )
+    with pytest.raises(ValueError, match="requires the mesh"):
+        make_train_step(
+            DepthUNet(CFG), optax.sgd(1.0), HybridLossConfig(),
+            accum_steps=2, ddp_parity=True,
+        )
+
+
 def test_host_local_rows_reassembles_spatially_sharded_arrays():
     """_host_local_rows must reassemble this host's batch rows even when
     non-batch dims are sharded too (the 'spatial' H axis of the 2x2x2

@@ -1,0 +1,78 @@
+"""A/B: folded-head top-k selection — knockout loop vs bf16 packed-key
+sorted-insert (ops/pallas/score_topk.py ``selector=``).
+
+The folded predict head leaves one kernel on the device: masked top-5
+over the conv-emitted [h, w, B, S] bf16 candidate-score field.  The
+knockout formulation runs five max/compare/masked-min/knockout passes
+over the [S, TN] tile (~20 S-traversals of VPU work — measured 6.1 ms
+at the bench scale, 3x the field's ~2 ms HBM read roofline).  The
+packed-key variant folds value+id into one monotone int32 (bf16's zero
+low mantissa bits make this exact) and replaces the passes with one
+sorted-insert sweep in [8, TN] chunks plus a cheap 8k-row knockout.
+
+Standalone selection kernel A/B at the exact bench-config shape,
+interleaved rounds in ONE process, checksum-identity enforced.
+
+Run on the TPU machine:  python experiments/select_ab.py
+"""
+
+import time
+
+from rangeclip_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rangeclip_tpu.ops.pallas.score_topk import fused_score_topk
+
+H, W, B, S, K = 128, 128, 128, 384, 5
+ROUNDS, ITERS = 6, 20
+
+
+def main():
+    # generate ON-DEVICE: a 1.6 GB host->device transfer can hang the
+    # tunnel (CLAUDE.md)
+    field = jax.random.normal(jax.random.key(3), (H, W, B, S),
+                              jnp.bfloat16)
+    ids = jnp.arange(S, dtype=jnp.int32) + 17  # ascending global ids
+    jax.block_until_ready(field)
+
+    def run(selector):
+        idx, val = fused_score_topk(field, ids, top_k=K, want_values=True,
+                                    selector=selector)
+        # pure reductions so XLA elides any padded-layout materialization
+        # (the bench checksum rule, CLAUDE.md)
+        return (jnp.sum(idx.astype(jnp.int64)),
+                jnp.sum(val.astype(jnp.float32)))
+
+    run_j = {s: jax.jit(lambda s=s: run(s)) for s in ("knockout", "packed")}
+    sums = {s: jax.device_get(run_j[s]()) for s in run_j}
+    print(f"# checksums: knockout {sums['knockout']}, "
+          f"packed {sums['packed']}")
+    assert int(sums["knockout"][0]) == int(sums["packed"][0]), "idx mismatch"
+    assert float(sums["knockout"][1]) == float(sums["packed"][1]), \
+        "val mismatch"
+
+    best = {s: float("inf") for s in run_j}
+    for r in range(ROUNDS):
+        for name, fn in run_j.items():
+            out = fn()
+            jax.block_until_ready(out)  # warm/compile outside the timer
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out = fn()
+            jax.block_until_ready(out)
+            best[name] = min(best[name],
+                             (time.perf_counter() - t0) / ITERS)
+        print(f"# round {r}: " + ", ".join(
+            f"{k} {v * 1e3:.2f} ms" for k, v in best.items()))
+    ratio = best["knockout"] / best["packed"]
+    print(f"VERDICT: packed selection is {ratio:.3f}x the knockout kernel "
+          f"({best['knockout']*1e3:.2f} -> {best['packed']*1e3:.2f} ms)")
+
+
+if __name__ == "__main__":
+    main()

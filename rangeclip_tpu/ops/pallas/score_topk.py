@@ -37,6 +37,31 @@ Measured dead ends at the bench scale (N=2.1M, S=384 — don't re-learn):
   * A 4096-row tile OOMs scoped VMEM (19 MB > 16 MB) once the f32
     working set and the unrolled knockout loop are accounted —
     _TILE_ELEMS budgets rows*S instead.
+
+bf16 PACKED-KEY fast path (the bench/serve default — conv scores are
+bf16 in the perf mode): a bf16 value widened to f32 has its low 16
+mantissa bits ZERO, so the f32 bit pattern mapped through the standard
+sign-magnitude -> two's-complement trick (``b ^ ((b >> 31) &
+0x7FFFFFFF)``) is a monotone int32 sort key with 16 free low bits —
+room for the slot's global id as an EXACT tie-break (``| 0xFFFF`` then
+``- id``: ties go to the smallest id, the lax.top_k slot order).  This
+is NOT the recorded ``pixel_text_topk`` mantissa-packing dead end: there
+the scores were f32 MXU accumulators with live low mantissa bits, so
+packing perturbed the order; here the low bits are structurally zero.
+One int32 array then carries value+id together, which converts the
+selection from five knockout passes over [S, TN] (max + compare +
+masked-min + knockout-where ~ 4 traversals each, ~20 S-traversals
+total) into one sorted-insert sweep: the key array is walked once in
+[8, TN] sublane chunks, each chunk inserted into five running [8, TN]
+top-registers with a 2-op max/min cascade (10 full-vreg ops per 8
+classes), and the final 8*k-row pool is knocked out in k cheap passes.
+~10 S-traversals equivalent (A/B numbers: experiments/select_ab.py),
+with ids and values decoded exactly from the winning keys.  The sole semantic
+difference from the f32 path: packed keys rank +0.0 above -0.0 instead
+of breaking the tie by id (bf16 conv scores never produce both).
+Contract: global ids must fit 16 bits (id < 65536) — asserted at trace
+time against the model's class count by the wrapper's callers; f32
+scores (the fp32 parity mode) keep the knockout path.
 """
 
 from __future__ import annotations
@@ -84,6 +109,67 @@ def _select_kernel(scores_ref, ids_ref, idx_ref, val_ref=None, *, top_k: int):
     jax.lax.fori_loop(0, top_k, body, scores, unroll=True)
 
 
+_INT_MIN = -(2**31)
+
+
+def _select_kernel_packed(scores_ref, ids_ref, idx_ref, val_ref=None, *,
+                          top_k: int):
+    """bf16 packed-key selection — see the module docstring.  Exactly the
+    knockout path's semantics (smallest-id ties, -1/-NEG_INF overflow
+    fills) for bf16 scores with global ids < 2**16."""
+    scores = scores_ref[:]
+    scores = scores.reshape(-1, scores.shape[-1])  # 4-D row blocks -> [TN, S]
+    S = scores.shape[-1]
+    tn = scores.shape[0]
+    ids = ids_ref[:].reshape(S, 1)
+
+    b = jax.lax.bitcast_convert_type(scores.astype(jnp.float32).T, jnp.int32)
+    # monotone int32 key; low 16 bits are zero for +, 0xFFFF for - (the
+    # bf16->f32 widening guarantees zero low mantissa bits), so `| 0xFFFF`
+    # gives every key the same low-bit base and `- id` packs the exact
+    # smallest-id tie-break without borrowing into the value bits.
+    key = b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))
+    key = (key | jnp.int32(0xFFFF)) - ids
+    key = jnp.where(ids >= 0, key, jnp.int32(_INT_MIN))
+    kc = key.reshape(S // 8, 8, tn)
+
+    def insert(c, regs):
+        t = kc[c]
+        out = []
+        for i in range(top_k):
+            hi = jnp.maximum(regs[i], t)
+            t = jnp.minimum(regs[i], t)
+            out.append(hi)
+        return tuple(out)
+
+    init = tuple(
+        jnp.full((8, tn), _INT_MIN, jnp.int32) for _ in range(top_k)
+    )
+    regs = jax.lax.fori_loop(0, S // 8, insert, init)
+    # Each of the 8 sublane streams now holds its own sorted top-k, and
+    # every global top-k element is top-k within its stream: knock out the
+    # 8*k-row pool k times for the global winners.
+    pool = jnp.concatenate(regs, axis=0)  # [8*top_k, TN]
+
+    def emit(i, pool):
+        m = jnp.max(pool, axis=0)  # [TN] i32
+        valid = m != jnp.int32(_INT_MIN)
+        gid = jnp.where(valid, jnp.int32(0xFFFF) - (m & jnp.int32(0xFFFF)),
+                        jnp.int32(-1))
+        idx_ref[i, :] = gid
+        if val_ref is not None:
+            # undo `- id`, clear the low-bit base, undo the sign trick:
+            # exactly the f32 bits of the stored bf16 score
+            bu = (m + gid) & jnp.int32(-65536)
+            vb = (bu ^ ((bu >> 31) & jnp.int32(0x7FFFFFFF))) \
+                & jnp.int32(-65536)
+            v = jax.lax.bitcast_convert_type(vb, jnp.float32)
+            val_ref[i, :] = jnp.where(valid, v, jnp.float32(NEG_INF))
+        return jnp.where(pool == m[None, :], jnp.int32(_INT_MIN), pool)
+
+    jax.lax.fori_loop(0, top_k, emit, pool, unroll=True)
+
+
 # Per-tile element budget rows*S: the selection working set is ~4.6 B/elem
 # (f32 scores + live i32 keys under the unrolled loop + double-buffered
 # bf16 input); 768Ki elems measured ~9.5 MB scoped VMEM of the 16 MB
@@ -102,7 +188,7 @@ def _tile_axis(axis: int, inner: int, limit: int = _TILE_ELEMS):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "want_values", "interpret")
+    jax.jit, static_argnames=("top_k", "want_values", "interpret", "selector")
 )
 def fused_score_topk(
     scores: jax.Array,
@@ -110,6 +196,7 @@ def fused_score_topk(
     top_k: int = 5,
     want_values: bool = False,
     interpret: bool = False,
+    selector: str = "auto",
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Args:
       scores: [N, S] or [h, w, B, S] pixel x candidate-slot scores (any
@@ -166,7 +253,22 @@ def fused_score_topk(
 
     nargs = len(grid)
     ids_map = (lambda i: (0,)) if nargs == 1 else (lambda i, j: (0,))
-    kernel = functools.partial(_select_kernel, top_k=top_k)
+    # bf16 scores take the packed-key sorted-insert path (module
+    # docstring); f32 (the parity mode) keeps the knockout loop.  The
+    # packed id tie-break needs ids < 2**16 — every caller's id space is
+    # the model's class count (<= 2048 in any shipped config).
+    # ``selector`` overrides the dtype dispatch for A/B scripts and tests
+    # (packed still requires bf16 input for its zero-low-bits guarantee).
+    if selector == "auto":
+        use_packed = scores.dtype == jnp.bfloat16
+    elif selector in ("packed", "knockout"):
+        use_packed = selector == "packed"
+        if use_packed and scores.dtype != jnp.bfloat16:
+            raise ValueError("packed selector requires bf16 scores")
+    else:
+        raise ValueError(f"unknown selector {selector!r}")
+    body = _select_kernel_packed if use_packed else _select_kernel
+    kernel = functools.partial(body, top_k=top_k)
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -499,6 +499,74 @@ def test_fused_score_topk_4d_matches_2d():
     np.testing.assert_array_equal(np.asarray(val4), np.asarray(val2))
 
 
+def test_tv_rowtile_matches_xla():
+    """tv_rowtile.py (the one-pass TV kernel): value within f32
+    partial-sum order of the XLA formulation, gradient BIT-equal to the
+    hand-derived sign-field VJP — unweighted/weighted, upsampled, and at
+    exact ties (the +1 convention)."""
+    from rangeclip_tpu.losses.smoothness import _tv, total_variation_loss
+    from rangeclip_tpu.ops.pallas.tv_rowtile import tv_rowtile
+
+    rng = np.random.default_rng(31)
+    B, H, W, D = 3, 16, 16, 128
+    # quantized values force exact bf16 ties across neighbors
+    x = jnp.asarray(
+        np.round(rng.standard_normal((B, H, W, D)) * 2) / 2, jnp.bfloat16)
+
+    for up in (1, 2):
+        ref, ref_g = jax.value_and_grad(lambda v, u=up: _tv(v, u))(x)
+        got, got_g = jax.value_and_grad(
+            lambda v, u=up: tv_rowtile(v, None, u, True))(x)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got_g), np.asarray(ref_g))
+
+    w = jnp.asarray([1.0, 0.0, 1.0])
+    scale = B / 2.0
+    ref, ref_g = jax.value_and_grad(
+        lambda v: total_variation_loss(v, upsample=2, sample_weight=w))(x)
+    got, got_g = jax.value_and_grad(
+        lambda v: tv_rowtile(v, w, 2, True) * scale)(x)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_g), np.asarray(ref_g))
+
+
+def test_fused_score_topk_packed_matches_knockout():
+    """The bf16 packed-key sorted-insert selector (the perf-mode default)
+    is bit-identical to the knockout loop — ids AND decoded values —
+    including duplicate-score ties, masked slots, and overflow fills."""
+    from rangeclip_tpu.ops.pallas.score_topk import fused_score_topk
+
+    rng = np.random.default_rng(23)
+    N, S, K = 64, 384, 5
+    # quantized values force many exact bf16 ties; include negatives
+    sc = jnp.asarray(
+        np.round(rng.standard_normal((N, S)) * 4) / 4, jnp.bfloat16)
+    ids = np.full(S, -1, np.int32)
+    ids[:300] = np.sort(rng.choice(2000, 300, replace=False))
+    ids = jnp.asarray(ids)
+
+    kn = fused_score_topk(sc, ids, top_k=K, want_values=True,
+                          interpret=True, selector="knockout")
+    pk = fused_score_topk(sc, ids, top_k=K, want_values=True,
+                          interpret=True, selector="packed")
+    np.testing.assert_array_equal(np.asarray(kn[0]), np.asarray(pk[0]))
+    np.testing.assert_array_equal(np.asarray(kn[1]), np.asarray(pk[1]))
+
+    # overflow: fewer valid slots than top_k -> -1 / NEG_INF fills
+    ids2 = np.full(S, -1, np.int32)
+    ids2[:3] = [4, 7, 9]
+    row = np.full(S, 0.5, np.float32)
+    row[:3] = [2.0, 2.0, 1.0]
+    sc2 = jnp.asarray(np.tile(row, (8, 1)), jnp.bfloat16)
+    idx, val = fused_score_topk(sc2, jnp.asarray(ids2), top_k=5,
+                                want_values=True, interpret=True,
+                                selector="packed")
+    a = np.asarray(idx)
+    assert a[0, :3].tolist() == [4, 7, 9]
+    assert (a[:, 3:] == -1).all()
+    assert (np.asarray(val)[:, 3:] == -1e30).all()
+
+
 def test_predict_folded_matches_predict():
     """predict_folded (output conv contracted with the text table, no
     normalization) ranks identically to DepthUNet.predict — same labels

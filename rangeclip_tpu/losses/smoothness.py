@@ -69,6 +69,26 @@ def total_variation_loss(
     masked slope fields instead of two sign fields, so traffic goes UP;
     letting it CSE+materialize sh/sv is the better schedule.
     """
+    from rangeclip_tpu.utils.platform import use_tpu_kernels
+    from rangeclip_tpu.ops.pallas.tv_rowtile import (
+        kernel_applicable, tv_rowtile,
+    )
+
+    if use_tpu_kernels() and kernel_applicable(
+        pixel_embeddings.shape, pixel_embeddings.dtype
+    ):
+        # one-pass row-tile kernel (bf16 fields): weights fold in as
+        # per-tile scalars — no x * w materialization, no sign fields
+        if sample_weight is not None:
+            B = pixel_embeddings.shape[0]
+            scale = B / jnp.maximum(
+                jnp.sum(sample_weight.astype(jnp.float32)), 1.0
+            )
+            return tv_rowtile(
+                pixel_embeddings, sample_weight, int(upsample)
+            ) * scale
+        return tv_rowtile(pixel_embeddings, None, int(upsample))
+
     if sample_weight is not None:
         w = sample_weight.astype(pixel_embeddings.dtype)
         B = pixel_embeddings.shape[0]

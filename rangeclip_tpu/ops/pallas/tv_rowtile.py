@@ -1,0 +1,275 @@
+"""One-pass row-tile Pallas TV smoothness — forward partial sums and a
+single-sweep backward over flat [rt*W, D] row tiles.
+
+Reference semantics: model.py:329-334 (mean L1 of horizontal + vertical
+neighbor differences of the pixel-embedding field); the shipped XLA
+formulation and its hand-derived sign-field VJP live in
+losses/smoothness.py.  This kernel targets the measured gap between that
+formulation and the HBM roofline: the 32x128^2x512 bf16 step spends
+~10 ms in TV fwd+bwd fusions while one read of the field is ~0.7 ms —
+XLA runs the forward as two shifted-read reduce fusions and the backward
+as sign-field materializations plus shifted combines (~5 field passes
+total).  Here:
+
+  * forward: one read of each [rt*W, D] tile + a one-image-row halo;
+    both direction sums accumulate in f32 in VMEM; per-tile partials
+    land in a [tiles, 2] SMEM output and are reduced outside.
+  * backward: one read of each tile + two one-image-row halos, signs
+    recomputed in-register (same residual policy as the XLA VJP: x
+    only), gradient written once.  ~1 read + 1 write of the field vs
+    XLA's ~5 passes.
+
+Design notes (why THIS shape, after two measured negatives):
+  * ops/pallas/tv_loss.py (kept, opt-in) lost to XLA with a 2-D grid of
+    small DMA-bound blocks and adjoint re-reads at seams.  The fix is
+    the pixel_text_ce/l2_normalize row-tile pattern: a 1-D grid of the
+    largest flat [rows, D] tiles that fit VMEM (per-grid-step overhead
+    is real), every op on clean 2-D layouts.
+  * The field is viewed as [B*H*W, D] rows (leading-dim merge is free).
+    A tile is rt whole image rows with rt DIVIDING H, so a tile never
+    straddles an image: horizontal pairs are in-tile (the row-end pair
+    is masked by a [rows, 1] iota), vertical pairs are an in-tile
+    W-row shift plus ONE halo image-row fetched as a second BlockSpec
+    view of the same operand, and the image-boundary mask is iota
+    arithmetic.
+  * experiments/tv_bwd_ab.py showed a one-pass XLA backward is 25%
+    SLOWER than sign fields (XLA materializes four masked slope
+    fields); the kernel sidesteps the scheduler: signs never leave
+    VMEM.
+  * 0/1 sample weights fold in as a per-tile scalar (tiles are
+    single-image), so the weighted path costs ZERO extra field passes,
+    where the XLA path materializes x * w.
+
+Semantics match losses/smoothness.py exactly: differences and signs in
+the INPUT dtype (±1 exact in bf16), |.| summed in f32, the d|u|/du = +1
+at-ties convention, and the same upsample pair-count rescale — the only
+divergence from the XLA values is f32 partial-sum order.  Dispatched
+from losses/smoothness.py under ``use_tpu_kernels()`` for bf16 fields;
+fp32 (the bit-parity mode vs the torch reference) keeps XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# x-tile byte budgets (pre-double-buffering).  Backward streams x in and
+# dx out plus carries the f32 gradient and two sign arrays in registers:
+# ~ (2+2)x buffered tiles + ~3 tile-sized working arrays, so a 2 MB
+# x-tile keeps the footprint near 11 MB of the 16 MB VMEM budget.
+_FWD_TILE_BYTES = 4 * 1024 * 1024
+_BWD_TILE_BYTES = 2 * 1024 * 1024
+
+
+def _pick_rt(H: int, W: int, D: int, esize: int, budget: int) -> int:
+    best = 1
+    for rt in range(1, H + 1):
+        if H % rt == 0 and rt * W * D * esize <= budget:
+            best = rt
+    return best
+
+
+def kernel_applicable(shape, dtype) -> bool:
+    """Gate for losses/smoothness.py: bf16 4-D fields with lane/sublane-
+    divisible minor dims and at least one pair in each direction."""
+    if len(shape) != 4:
+        return False
+    B, H, W, D = shape
+    return (
+        dtype == jnp.bfloat16
+        and H >= 2 and W >= 2
+        and W % 8 == 0 and D % 128 == 0
+    )
+
+
+def _fwd_kernel(x_ref, halo_ref, w_ref, sums_ref, *, H: int, W: int,
+                rt: int):
+    i = pl.program_id(0)
+    x = x_ref[...]        # [rt*W, D], input dtype
+    halo = halo_ref[...]  # [W, D] first image-row of the next tile
+    wt = w_ref[0, 0]      # per-tile 0/1 weight (tiles are single-image)
+
+    local = jax.lax.broadcasted_iota(jnp.int32, (rt * W - 1, 1), 0)
+    # horizontal pair (q, q+1) is real unless q ends an image row
+    vh = ((local % W) != (W - 1)).astype(jnp.float32)
+    dh = (x[:-1, :] - x[1:, :]).astype(jnp.float32)
+    s_h = jnp.sum(jnp.abs(dh) * vh)
+
+    # vertical pair (q, q+W): in-tile shift; all pairs are in-image
+    # because rt | H, except the tile's LAST image row, whose pairs use
+    # the halo and are masked when the tile ends its image:
+    # global image-row r = (i+1)*rt - 1 pairs downward iff r % H != H-1
+    # <=> (i+1)*rt % H != 0.
+    dv = (x[:-W, :] - x[W:, :]).astype(jnp.float32)
+    s_v = jnp.sum(jnp.abs(dv))
+    dvh = (x[-W:, :] - halo).astype(jnp.float32)
+    valid = (((i + 1) * rt) % H != 0).astype(jnp.float32)
+    s_v = s_v + valid * jnp.sum(jnp.abs(dvh))
+
+    sums_ref[0, 0] = s_h * wt
+    sums_ref[0, 1] = s_v * wt
+
+
+def _bwd_kernel(x_ref, up_ref, dn_ref, w_ref, g_ref, dx_ref, *, H: int,
+                W: int, rt: int):
+    i = pl.program_id(0)
+    x = x_ref[...]      # [rt*W, D], input dtype
+    up = up_ref[...]    # [W, D] image-row above the tile (clamped at 0)
+    dn = dn_ref[...]    # [W, D] image-row below the tile (clamped)
+    wt = w_ref[0, 0]
+    gh = g_ref[0, 0] * wt  # f32 scalars: upstream grad / pair counts
+    gv = g_ref[0, 1] * wt
+
+    TR = rt * W
+    one = jnp.asarray(1, x.dtype)
+
+    def slope(u):
+        # JAX's d|u|/du convention (+1 at exact ties) in the input dtype,
+        # identical to losses/smoothness.py's sign fields
+        return jnp.where(u >= 0, one, -one)
+
+    local = jax.lax.broadcasted_iota(jnp.int32, (TR - 1, 1), 0)
+    vh = ((local % W) != (W - 1)).astype(x.dtype)
+    sh = slope(x[:-1, :] - x[1:, :]) * vh  # [TR-1, D], exact in bf16
+    zrow = jnp.zeros((1, x.shape[-1]), x.dtype)
+    # dx_h[q] = gh * (sh(q) - sh(q-1)) with masked pads
+    ghf = gh * (jnp.concatenate([sh, zrow], axis=0).astype(jnp.float32)
+                - jnp.concatenate([zrow, sh], axis=0).astype(jnp.float32))
+
+    # vertical: ext pair j covers (i*TR - W + j, i*TR + j); its image-row
+    # is i*rt - 1 + j // W, masked outside [0, ...] and at image ends
+    top = jnp.concatenate([up, x], axis=0)  # [TR+W, D]
+    bot = jnp.concatenate([x, dn], axis=0)
+    ext = jax.lax.broadcasted_iota(jnp.int32, (TR + W, 1), 0)
+    rp = i * rt - 1 + ext // W
+    vv = ((rp >= 0) & (rp % H != H - 1)).astype(x.dtype)
+    sv = slope(top - bot) * vv             # [TR+W, D], exact in bf16
+    # dx_v[q] = gv * (sv_ext(q+W) - sv_ext(q)); the difference of two
+    # {-1, 0, 1} values is exact in the input dtype
+    gvf = gv * (sv[W:, :] - sv[:-W, :]).astype(jnp.float32)
+
+    dx_ref[...] = (ghf + gvf).astype(dx_ref.dtype)
+
+
+def _scale_sums(s_h, s_v, shape, upsample):
+    B, H, W, D = shape
+    tv_h = s_h / (B * H * (W - 1) * D)
+    tv_v = s_v / (B * (H - 1) * W * D)
+    if upsample > 1:
+        tv_h = tv_h * ((W - 1) / (upsample * W - 1))
+        tv_v = tv_v * ((H - 1) / (upsample * H - 1))
+    return tv_h + tv_v
+
+
+def _tile_weight(sample_weight, B, tiles_per_image):
+    if sample_weight is None:
+        w = jnp.ones((B,), jnp.float32)
+    else:
+        w = sample_weight.astype(jnp.float32)
+    return jnp.repeat(w, tiles_per_image).reshape(-1, 1)
+
+
+def _tv_sums(x, sample_weight, interpret):
+    B, H, W, D = x.shape
+    esize = jnp.dtype(x.dtype).itemsize
+    rt = _pick_rt(H, W, D, esize, _FWD_TILE_BYTES)
+    tiles = (B * H) // rt
+    xf = x.reshape(B * H * W, D)
+    wt = _tile_weight(sample_weight, B, H // rt)
+    n_wblocks = B * H  # (W, D) halo blocks along the row axis
+
+    sums = pl.pallas_call(
+        functools.partial(_fwd_kernel, H=H, W=W, rt=rt),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((rt * W, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (W, D),
+                lambda i: (jnp.minimum((i + 1) * rt, n_wblocks - 1), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((tiles, 2), jnp.float32),
+        interpret=interpret,
+    )(xf, xf, wt)
+    return jnp.sum(sums[:, 0]), jnp.sum(sums[:, 1])
+
+
+def _tv_bwd_impl(upsample, interpret, x, sample_weight, g):
+    B, H, W, D = x.shape
+    s = upsample
+    gh = g / (B * H * (W - 1) * D)
+    gv = g / (B * (H - 1) * W * D)
+    if s > 1:
+        gh = gh * ((W - 1) / (s * W - 1))
+        gv = gv * ((H - 1) / (s * H - 1))
+    gs = jnp.stack([gh, gv]).astype(jnp.float32).reshape(1, 2)
+
+    esize = jnp.dtype(x.dtype).itemsize
+    rt = _pick_rt(H, W, D, esize, _BWD_TILE_BYTES)
+    tiles = (B * H) // rt
+    xf = x.reshape(B * H * W, D)
+    wt = _tile_weight(sample_weight, B, H // rt)
+    n_wblocks = B * H
+
+    dx = pl.pallas_call(
+        functools.partial(_bwd_kernel, H=H, W=W, rt=rt),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((rt * W, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (W, D),
+                # the image-row ABOVE the tile; clamped at 0, where the
+                # rp >= 0 mask kills the clamped read's contribution
+                lambda i: (jnp.maximum(i * rt - 1, 0), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (W, D),
+                lambda i: (jnp.minimum((i + 1) * rt, n_wblocks - 1), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((rt * W, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H * W, D), x.dtype),
+        interpret=interpret,
+    )(xf, xf, xf, wt, gs)
+    return dx.reshape(B, H, W, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def tv_rowtile(x: jax.Array, sample_weight, upsample: int = 1,
+               interpret: bool = False) -> jax.Array:
+    """TV smoothness of the (0/1-sample-weighted) field via the row-tile
+    kernel.  x: [B, H, W, D]; sample_weight: [B] 0/1 or None (weights are
+    NOT differentiated — they are the sample_valid mask, and the weighted
+    value here is TV(x * w) WITHOUT the B/sum(w) rescale, which the
+    caller applies).  Returns the same value as losses/smoothness.py's
+    ``_tv(x * w, upsample)`` up to f32 partial-sum order."""
+    s_h, s_v = _tv_sums(x, sample_weight, interpret)
+    return _scale_sums(s_h, s_v, x.shape, upsample)
+
+
+def _tv_fwd_vjp(x, sample_weight, upsample, interpret):
+    s_h, s_v = _tv_sums(x, sample_weight, interpret)
+    return _scale_sums(s_h, s_v, x.shape, upsample), (x, sample_weight)
+
+
+def _tv_bwd_vjp(upsample, interpret, res, g):
+    x, sample_weight = res
+    return (_tv_bwd_impl(upsample, interpret, x, sample_weight, g), None)
+
+
+tv_rowtile.defvjp(_tv_fwd_vjp, _tv_bwd_vjp)

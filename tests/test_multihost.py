@@ -213,7 +213,10 @@ def test_two_process_training_matches_single_process_simulation(tmp_path):
     ]
     for t in threads:
         t.start()
-    deadline = time.monotonic() + 900
+    # 1500 s: the two workers take ~330 s alone on this 1-core machine but
+    # have timed out at 900 s under full-suite load (compile-cache misses
+    # compound when other tests ran first)
+    deadline = time.monotonic() + 1500
     for t in threads:
         t.join(timeout=max(0.0, deadline - time.monotonic()))
     if any(t.is_alive() for t in threads):

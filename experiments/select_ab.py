@@ -40,21 +40,40 @@ def main():
     ids = jnp.arange(S, dtype=jnp.int32) + 17  # ascending global ids
     jax.block_until_ready(field)
 
-    def run(selector):
-        idx, val = fused_score_topk(field, ids, top_k=K, want_values=True,
-                                    selector=selector)
+    import rangeclip_tpu.ops.pallas.score_topk as sk
+
+    def run(selector, tile_elems=None):
+        if tile_elems is not None:
+            orig = sk._tile_axis
+            sk._tile_axis = lambda axis, inner: orig(axis, inner,
+                                                     limit=tile_elems)
+        try:
+            # the unjitted wrapper: monkeypatched tiling must retrace
+            idx, val = fused_score_topk.__wrapped__(
+                field, ids, top_k=K, want_values=True, selector=selector,
+                max_id=S + 16)
+        finally:
+            if tile_elems is not None:
+                sk._tile_axis = orig
         # pure reductions so XLA elides any padded-layout materialization
         # (the bench checksum rule, CLAUDE.md)
         return (jnp.sum(idx.astype(jnp.int64)),
                 jnp.sum(val.astype(jnp.float32)))
 
-    run_j = {s: jax.jit(lambda s=s: run(s)) for s in ("knockout", "packed")}
+    run_j = {
+        "knockout": jax.jit(lambda: run("knockout")),
+        "packed": jax.jit(lambda: run("packed")),
+        # packed working set is lighter (i32 keys replace the f32 scores
+        # and the unrolled knockout's live copies): try double the tile
+        "packed4k": jax.jit(lambda: run("packed", 1536 * 1024)),
+    }
     sums = {s: jax.device_get(run_j[s]()) for s in run_j}
-    print(f"# checksums: knockout {sums['knockout']}, "
-          f"packed {sums['packed']}")
-    assert int(sums["knockout"][0]) == int(sums["packed"][0]), "idx mismatch"
-    assert float(sums["knockout"][1]) == float(sums["packed"][1]), \
-        "val mismatch"
+    print("# checksums:", {k: (int(v[0]), float(v[1]))
+                           for k, v in sums.items()})
+    for name, v in sums.items():
+        assert int(v[0]) == int(sums["knockout"][0]), f"{name} idx mismatch"
+        assert float(v[1]) == float(sums["knockout"][1]), \
+            f"{name} val mismatch"
 
     best = {s: float("inf") for s in run_j}
     for r in range(ROUNDS):

@@ -74,28 +74,23 @@ def total_variation_loss(
         kernel_applicable, tv_rowtile,
     )
 
+    scale = None
+    if sample_weight is not None:
+        scale = pixel_embeddings.shape[0] / jnp.maximum(
+            jnp.sum(sample_weight.astype(jnp.float32)), 1.0
+        )
+
     if use_tpu_kernels() and kernel_applicable(
         pixel_embeddings.shape, pixel_embeddings.dtype
     ):
         # one-pass row-tile kernel (bf16 fields): weights fold in as
         # per-tile scalars — no x * w materialization, no sign fields
-        if sample_weight is not None:
-            B = pixel_embeddings.shape[0]
-            scale = B / jnp.maximum(
-                jnp.sum(sample_weight.astype(jnp.float32)), 1.0
-            )
-            return tv_rowtile(
-                pixel_embeddings, sample_weight, int(upsample)
-            ) * scale
-        return tv_rowtile(pixel_embeddings, None, int(upsample))
+        loss = tv_rowtile(pixel_embeddings, sample_weight, int(upsample))
+        return loss if scale is None else loss * scale
 
     if sample_weight is not None:
         w = sample_weight.astype(pixel_embeddings.dtype)
-        B = pixel_embeddings.shape[0]
         pixel_embeddings = pixel_embeddings * w[:, None, None, None]
-        scale = B / jnp.maximum(
-            jnp.sum(sample_weight.astype(jnp.float32)), 1.0
-        )
         return _tv(pixel_embeddings, int(upsample)) * scale
     return _tv(pixel_embeddings, int(upsample))
 

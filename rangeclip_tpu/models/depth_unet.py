@@ -407,6 +407,7 @@ def predict_folded(
     want_values: bool = False,
     upsample: bool = True,
     interpret: bool = False,
+    max_candidate_id: Optional[int] = None,
 ) -> jax.Array:
     """Labels-only predict with the output conv FOLDED into the scoring.
 
@@ -468,18 +469,25 @@ def predict_folded(
     B, h, w, _ = features.shape
     W = variables["params"]["depth_decoder"]["output_conv"]["conv"]["kernel"]
 
+    # static id bound for the packed bf16 selector (score_topk.py):
+    # caller-supplied global ids need a caller-supplied bound
+    # (``max_candidate_id``, e.g. the class-sharded path's global class
+    # count - 1); table-indexed forms are bounded by the table itself
     if candidate_ids is not None:
         table = candidate_text_embeddings
         ids = candidate_ids.astype(jnp.int32)
+        id_bound = max_candidate_id
     elif candidate_indices is not None:
         table = candidate_text_embeddings[jnp.maximum(candidate_indices, 0)]
         ids = candidate_indices.astype(jnp.int32)
+        id_bound = candidate_text_embeddings.shape[0] - 1
     else:
         table = candidate_text_embeddings
         C = table.shape[0]
         ids = jnp.arange(C, dtype=jnp.int32)
         if candidate_mask is not None:
             ids = jnp.where(candidate_mask, ids, -1)
+        id_bound = C - 1
     if (use_tpu_kernels() or interpret) and table.shape[0] % 128:
         # round the slot count up to a lane multiple for the kernel; the
         # pad rows are id -1 (masked in-kernel) so they never win
@@ -503,7 +511,8 @@ def predict_folded(
         field_t = jnp.transpose(scores, (1, 2, 0, 3))
         idx, val = fused_score_topk(field_t, ids, top_k=top_k,
                                     want_values=want_values,
-                                    interpret=interpret)
+                                    interpret=interpret,
+                                    max_id=id_bound)
         topk_indices = idx.reshape(h, w, B, top_k).transpose(2, 0, 1, 3)
         if want_values:
             topk_values = val.reshape(h, w, B, top_k).transpose(2, 0, 1, 3)

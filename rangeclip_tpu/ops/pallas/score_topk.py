@@ -56,12 +56,18 @@ total) into one sorted-insert sweep: the key array is walked once in
 top-registers with a 2-op max/min cascade (10 full-vreg ops per 8
 classes), and the final 8*k-row pool is knocked out in k cheap passes.
 ~10 S-traversals equivalent (A/B numbers: experiments/select_ab.py),
-with ids and values decoded exactly from the winning keys.  The sole semantic
-difference from the f32 path: packed keys rank +0.0 above -0.0 instead
-of breaking the tie by id (bf16 conv scores never produce both).
-Contract: global ids must fit 16 bits (id < 65536) — asserted at trace
-time against the model's class count by the wrapper's callers; f32
-scores (the fp32 parity mode) keep the knockout path.
+with ids and values decoded exactly from the winning keys.
+
+Semantic differences from the knockout path, all outside the range of
+real conv scores: packed keys rank +0.0 above -0.0 instead of breaking
+the tie by id; valid scores below the NEG_INF mask value (-1e30) still
+win under packed where knockout treats them as masked; a NaN score
+(exponent-all-ones key) would rank top under packed but never wins
+knockout's >= comparisons.
+Contract: global ids must fit 16 bits — the wrapper dispatches packed
+only when a STATIC id bound < 2**16 is known (default arange ids, or
+the caller's ``max_id``); otherwise, and for f32 scores (the fp32
+parity mode), the knockout loop runs.
 """
 
 from __future__ import annotations
@@ -123,7 +129,10 @@ def _select_kernel_packed(scores_ref, ids_ref, idx_ref, val_ref=None, *,
     tn = scores.shape[0]
     ids = ids_ref[:].reshape(S, 1)
 
-    b = jax.lax.bitcast_convert_type(scores.astype(jnp.float32).T, jnp.int32)
+    # transpose at 16-bit width (half the vreg traffic of an f32
+    # transpose), then widen — bf16 -> f32 keeps the low 16 bits zero
+    b = jax.lax.bitcast_convert_type(scores.T.astype(jnp.float32),
+                                     jnp.int32)
     # monotone int32 key; low 16 bits are zero for +, 0xFFFF for - (the
     # bf16->f32 widening guarantees zero low mantissa bits), so `| 0xFFFF`
     # gives every key the same low-bit base and `- id` packs the exact
@@ -180,15 +189,14 @@ _TILE_ELEMS = 768 * 1024
 def _tile_axis(axis: int, inner: int, limit: int = _TILE_ELEMS):
     """Largest divisor t of ``axis`` with t*inner <= limit (per-grid-step
     overhead is real — round-2 lesson: pick the LARGEST valid tile)."""
-    best = 1
-    for t in range(1, axis + 1):
-        if axis % t == 0 and t * inner <= limit:
-            best = t
-    return best
+    from rangeclip_tpu.ops.pallas.tiling import largest_divisor_tile
+
+    return largest_divisor_tile(axis, inner, limit)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "want_values", "interpret", "selector")
+    jax.jit, static_argnames=("top_k", "want_values", "interpret",
+                              "selector", "max_id")
 )
 def fused_score_topk(
     scores: jax.Array,
@@ -197,6 +205,7 @@ def fused_score_topk(
     want_values: bool = False,
     interpret: bool = False,
     selector: str = "auto",
+    max_id: Optional[int] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Args:
       scores: [N, S] or [h, w, B, S] pixel x candidate-slot scores (any
@@ -220,7 +229,8 @@ def fused_score_topk(
     for d in lead:
         N *= d
 
-    if candidate_ids is None:
+    default_ids = candidate_ids is None
+    if default_ids:
         candidate_ids = jnp.arange(S, dtype=jnp.int32)
 
     if scores.ndim == 4:
@@ -255,16 +265,24 @@ def fused_score_topk(
     ids_map = (lambda i: (0,)) if nargs == 1 else (lambda i, j: (0,))
     # bf16 scores take the packed-key sorted-insert path (module
     # docstring); f32 (the parity mode) keeps the knockout loop.  The
-    # packed id tie-break needs ids < 2**16 — every caller's id space is
-    # the model's class count (<= 2048 in any shipped config).
-    # ``selector`` overrides the dtype dispatch for A/B scripts and tests
-    # (packed still requires bf16 input for its zero-low-bits guarantee).
+    # packed id tie-break needs a STATIC bound: ids < 2**16.  With
+    # default ids that bound is S - 1; with caller-supplied candidate_ids
+    # the caller must pass ``max_id`` (its global class count - 1) or
+    # auto-dispatch conservatively keeps the knockout loop.  ``selector``
+    # overrides the dtype dispatch for A/B scripts and tests (packed
+    # still requires bf16 input for its zero-low-bits guarantee).
+    id_bound = (S - 1) if default_ids else max_id
+    packed_ok = (scores.dtype == jnp.bfloat16 and id_bound is not None
+                 and id_bound < 2**16)
     if selector == "auto":
-        use_packed = scores.dtype == jnp.bfloat16
+        use_packed = packed_ok
     elif selector in ("packed", "knockout"):
         use_packed = selector == "packed"
-        if use_packed and scores.dtype != jnp.bfloat16:
-            raise ValueError("packed selector requires bf16 scores")
+        if use_packed and not packed_ok:
+            raise ValueError(
+                "packed selector requires bf16 scores and a static id "
+                f"bound < 2**16 (got dtype {scores.dtype}, bound "
+                f"{id_bound})")
     else:
         raise ValueError(f"unknown selector {selector!r}")
     body = _select_kernel_packed if use_packed else _select_kernel

@@ -66,23 +66,25 @@ _BWD_TILE_BYTES = 2 * 1024 * 1024
 
 
 def _pick_rt(H: int, W: int, D: int, esize: int, budget: int) -> int:
-    best = 1
-    for rt in range(1, H + 1):
-        if H % rt == 0 and rt * W * D * esize <= budget:
-            best = rt
-    return best
+    from rangeclip_tpu.ops.pallas.tiling import largest_divisor_tile
+
+    return largest_divisor_tile(H, W * D * esize, budget)
 
 
 def kernel_applicable(shape, dtype) -> bool:
     """Gate for losses/smoothness.py: bf16 4-D fields with lane/sublane-
-    divisible minor dims and at least one pair in each direction."""
+    divisible minor dims, at least one pair in each direction, and a
+    single image row inside the (tighter, backward) tile budget — an
+    oversized row would force an over-VMEM rt=1 tile; XLA handles it."""
     if len(shape) != 4:
         return False
     B, H, W, D = shape
+    esize = jnp.dtype(dtype).itemsize
     return (
         dtype == jnp.bfloat16
         and H >= 2 and W >= 2
         and W % 8 == 0 and D % 128 == 0
+        and W * D * esize <= _BWD_TILE_BYTES
     )
 
 
@@ -94,21 +96,24 @@ def _fwd_kernel(x_ref, halo_ref, w_ref, sums_ref, *, H: int, W: int,
     wt = w_ref[0, 0]      # per-tile 0/1 weight (tiles are single-image)
 
     local = jax.lax.broadcasted_iota(jnp.int32, (rt * W - 1, 1), 0)
-    # horizontal pair (q, q+1) is real unless q ends an image row
-    vh = ((local % W) != (W - 1)).astype(jnp.float32)
-    dh = (x[:-1, :] - x[1:, :]).astype(jnp.float32)
-    s_h = jnp.sum(jnp.abs(dh) * vh)
+    # horizontal pair (q, q+1) is real unless q ends an image row.  The
+    # mask multiply stays in the input dtype (|dh| * {0,1} is exact) so
+    # no tile-sized f32 intermediate ever materializes in VMEM; only the
+    # reductions accumulate in f32.
+    vh = ((local % W) != (W - 1)).astype(x.dtype)
+    dh = x[:-1, :] - x[1:, :]
+    s_h = jnp.sum(jnp.abs(dh) * vh, dtype=jnp.float32)
 
     # vertical pair (q, q+W): in-tile shift; all pairs are in-image
     # because rt | H, except the tile's LAST image row, whose pairs use
     # the halo and are masked when the tile ends its image:
     # global image-row r = (i+1)*rt - 1 pairs downward iff r % H != H-1
     # <=> (i+1)*rt % H != 0.
-    dv = (x[:-W, :] - x[W:, :]).astype(jnp.float32)
-    s_v = jnp.sum(jnp.abs(dv))
-    dvh = (x[-W:, :] - halo).astype(jnp.float32)
+    dv = x[:-W, :] - x[W:, :]
+    s_v = jnp.sum(jnp.abs(dv), dtype=jnp.float32)
+    dvh = x[-W:, :] - halo
     valid = (((i + 1) * rt) % H != 0).astype(jnp.float32)
-    s_v = s_v + valid * jnp.sum(jnp.abs(dvh))
+    s_v = s_v + valid * jnp.sum(jnp.abs(dvh), dtype=jnp.float32)
 
     sums_ref[0, 0] = s_h * wt
     sums_ref[0, 1] = s_v * wt
@@ -136,9 +141,12 @@ def _bwd_kernel(x_ref, up_ref, dn_ref, w_ref, g_ref, dx_ref, *, H: int,
     vh = ((local % W) != (W - 1)).astype(x.dtype)
     sh = slope(x[:-1, :] - x[1:, :]) * vh  # [TR-1, D], exact in bf16
     zrow = jnp.zeros((1, x.shape[-1]), x.dtype)
-    # dx_h[q] = gh * (sh(q) - sh(q-1)) with masked pads
-    ghf = gh * (jnp.concatenate([sh, zrow], axis=0).astype(jnp.float32)
-                - jnp.concatenate([zrow, sh], axis=0).astype(jnp.float32))
+    # dx_h[q] = gh * (sh(q) - sh(q-1)) with masked pads; the pad
+    # difference stays in the input dtype ({-2..2} is exact in bf16, and
+    # this is precisely the XLA VJP's promotion order: bf16 difference,
+    # THEN the f32-scalar multiply) — no tile-sized f32 intermediates
+    d_h = (jnp.concatenate([sh, zrow], axis=0)
+           - jnp.concatenate([zrow, sh], axis=0))
 
     # vertical: ext pair j covers (i*TR - W + j, i*TR + j); its image-row
     # is i*rt - 1 + j // W, masked outside [0, ...] and at image ends
@@ -148,11 +156,10 @@ def _bwd_kernel(x_ref, up_ref, dn_ref, w_ref, g_ref, dx_ref, *, H: int,
     rp = i * rt - 1 + ext // W
     vv = ((rp >= 0) & (rp % H != H - 1)).astype(x.dtype)
     sv = slope(top - bot) * vv             # [TR+W, D], exact in bf16
-    # dx_v[q] = gv * (sv_ext(q+W) - sv_ext(q)); the difference of two
-    # {-1, 0, 1} values is exact in the input dtype
-    gvf = gv * (sv[W:, :] - sv[:-W, :]).astype(jnp.float32)
+    # dx_v[q] = gv * (sv_ext(q+W) - sv_ext(q))
+    d_v = sv[W:, :] - sv[:-W, :]
 
-    dx_ref[...] = (ghf + gvf).astype(dx_ref.dtype)
+    dx_ref[...] = (gh * d_h + gv * d_v).astype(dx_ref.dtype)
 
 
 def _scale_sums(s_h, s_v, shape, upsample):

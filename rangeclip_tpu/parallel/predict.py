@@ -148,6 +148,9 @@ def make_sharded_predict(
                 model, variables, depth, table_slice,
                 candidate_ids=ids_slice, top_k=top_k, want_values=True,
                 upsample=False, interpret=interpret,
+                # static global-id bound for the packed bf16 selector:
+                # slices are an even split of the padded global table
+                max_candidate_id=ids_slice.shape[0] * n_model - 1,
             )
         else:
             idx, val = _local_default_topk(

@@ -530,6 +530,31 @@ def test_tv_rowtile_matches_xla():
     np.testing.assert_array_equal(np.asarray(got_g), np.asarray(ref_g))
 
 
+def test_tv_rowtile_multi_tile_halos(monkeypatch):
+    """Force tiny tile budgets so tiles are FRACTIONS of an image (at the
+    real train shape rt < H too): the forward halo pair, the backward
+    up/dn halo reads, and every cross-tile mask must all be live — a
+    whole-image tile (rt == H) masks them all and would hide index-map
+    regressions."""
+    import rangeclip_tpu.ops.pallas.tv_rowtile as tvk
+    from rangeclip_tpu.losses.smoothness import _tv
+    from rangeclip_tpu.ops.pallas.tv_rowtile import tv_rowtile
+
+    rng = np.random.default_rng(33)
+    B, H, W, D = 2, 8, 8, 128
+    x = jnp.asarray(
+        np.round(rng.standard_normal((B, H, W, D)) * 2) / 2, jnp.bfloat16)
+    # 2 image rows per forward tile, 1 per backward tile
+    monkeypatch.setattr(tvk, "_FWD_TILE_BYTES", 2 * W * D * 2)
+    monkeypatch.setattr(tvk, "_BWD_TILE_BYTES", 1 * W * D * 2)
+
+    ref, ref_g = jax.value_and_grad(lambda v: _tv(v, 1))(x)
+    got, got_g = jax.value_and_grad(
+        lambda v: tv_rowtile(v, None, 1, True))(x)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_g), np.asarray(ref_g))
+
+
 def test_fused_score_topk_packed_matches_knockout():
     """The bf16 packed-key sorted-insert selector (the perf-mode default)
     is bit-identical to the knockout loop — ids AND decoded values —
@@ -548,7 +573,7 @@ def test_fused_score_topk_packed_matches_knockout():
     kn = fused_score_topk(sc, ids, top_k=K, want_values=True,
                           interpret=True, selector="knockout")
     pk = fused_score_topk(sc, ids, top_k=K, want_values=True,
-                          interpret=True, selector="packed")
+                          interpret=True, selector="packed", max_id=1999)
     np.testing.assert_array_equal(np.asarray(kn[0]), np.asarray(pk[0]))
     np.testing.assert_array_equal(np.asarray(kn[1]), np.asarray(pk[1]))
 
@@ -560,7 +585,7 @@ def test_fused_score_topk_packed_matches_knockout():
     sc2 = jnp.asarray(np.tile(row, (8, 1)), jnp.bfloat16)
     idx, val = fused_score_topk(sc2, jnp.asarray(ids2), top_k=5,
                                 want_values=True, interpret=True,
-                                selector="packed")
+                                selector="packed", max_id=9)
     a = np.asarray(idx)
     assert a[0, :3].tolist() == [4, 7, 9]
     assert (a[:, 3:] == -1).all()

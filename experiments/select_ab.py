@@ -39,6 +39,7 @@ def main():
                               jnp.bfloat16)
     ids = jnp.arange(S, dtype=jnp.int32) + 17  # ascending global ids
     jax.block_until_ready(field)
+    print("# field ready", flush=True)
 
     import rangeclip_tpu.ops.pallas.score_topk as sk
 
@@ -67,7 +68,11 @@ def main():
         # and the unrolled knockout's live copies): try double the tile
         "packed4k": jax.jit(lambda: run("packed", 1536 * 1024)),
     }
-    sums = {s: jax.device_get(run_j[s]()) for s in run_j}
+    sums = {}
+    for s in run_j:
+        print(f"# compiling+running {s} ...", flush=True)
+        sums[s] = jax.device_get(run_j[s]())
+        print(f"# {s} done", flush=True)
     print("# checksums:", {k: (int(v[0]), float(v[1]))
                            for k, v in sums.items()})
     for name, v in sums.items():

@@ -140,21 +140,18 @@ def _select_kernel_packed(scores_ref, ids_ref, idx_ref, val_ref=None, *,
     key = b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))
     key = (key | jnp.int32(0xFFFF)) - ids
     key = jnp.where(ids >= 0, key, jnp.int32(_INT_MIN))
-    kc = key.reshape(S // 8, 8, tn)
-
-    def insert(c, regs):
-        t = kc[c]
-        out = []
+    # Trace-time Python loop with STATIC slices: a traced chunk index
+    # would be a dynamic_slice of a VALUE, which has no Mosaic TC
+    # lowering rule ("Unimplemented primitive ... dynamic_slice", hit on
+    # hardware — interpret mode cannot catch it; the TPU-lowering
+    # regression test in tests/test_pallas_kernels.py now does).
+    regs = [jnp.full((8, tn), _INT_MIN, jnp.int32) for _ in range(top_k)]
+    for c in range(S // 8):
+        t = key[c * 8:(c + 1) * 8, :]
         for i in range(top_k):
             hi = jnp.maximum(regs[i], t)
             t = jnp.minimum(regs[i], t)
-            out.append(hi)
-        return tuple(out)
-
-    init = tuple(
-        jnp.full((8, tn), _INT_MIN, jnp.int32) for _ in range(top_k)
-    )
-    regs = jax.lax.fori_loop(0, S // 8, insert, init)
+            regs[i] = hi
     # Each of the 8 sublane streams now holds its own sorted top-k, and
     # every global top-k element is top-k within its stream: knock out the
     # 8*k-row pool k times for the global winners.

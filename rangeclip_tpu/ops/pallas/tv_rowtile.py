@@ -93,7 +93,7 @@ def _fwd_kernel(x_ref, halo_ref, w_ref, sums_ref, *, H: int, W: int,
     i = pl.program_id(0)
     x = x_ref[...]        # [rt*W, D], input dtype
     halo = halo_ref[...]  # [W, D] first image-row of the next tile
-    wt = w_ref[0, 0]      # per-tile 0/1 weight (tiles are single-image)
+    wt = w_ref[i, 0]      # per-tile 0/1 weight (tiles are single-image)
 
     local = jax.lax.broadcasted_iota(jnp.int32, (rt * W - 1, 1), 0)
     # horizontal pair (q, q+1) is real unless q ends an image row.  The
@@ -115,8 +115,8 @@ def _fwd_kernel(x_ref, halo_ref, w_ref, sums_ref, *, H: int, W: int,
     valid = (((i + 1) * rt) % H != 0).astype(jnp.float32)
     s_v = s_v + valid * jnp.sum(jnp.abs(dvh), dtype=jnp.float32)
 
-    sums_ref[0, 0] = s_h * wt
-    sums_ref[0, 1] = s_v * wt
+    sums_ref[i, 0] = s_h * wt
+    sums_ref[i, 1] = s_v * wt
 
 
 def _bwd_kernel(x_ref, up_ref, dn_ref, w_ref, g_ref, dx_ref, *, H: int,
@@ -125,7 +125,7 @@ def _bwd_kernel(x_ref, up_ref, dn_ref, w_ref, g_ref, dx_ref, *, H: int,
     x = x_ref[...]      # [rt*W, D], input dtype
     up = up_ref[...]    # [W, D] image-row above the tile (clamped at 0)
     dn = dn_ref[...]    # [W, D] image-row below the tile (clamped)
-    wt = w_ref[0, 0]
+    wt = w_ref[i, 0]
     gh = g_ref[0, 0] * wt  # f32 scalars: upstream grad / pair counts
     gv = g_ref[0, 1] * wt
 
@@ -199,11 +199,13 @@ def _tv_sums(x, sample_weight, interpret):
                 (W, D),
                 lambda i: (jnp.minimum((i + 1) * rt, n_wblocks - 1), 0),
                 memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            # per-tile scalars live UNBLOCKED in SMEM, indexed by the
+            # program id — a blocked (1, 1)/(1, 2) SMEM spec violates
+            # Mosaic's (8, 128)-or-equal block rule and fails TPU
+            # lowering (caught by tests/test_tpu_lowering.py)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2), lambda i: (i, 0),
-                               memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((tiles, 2), jnp.float32),
         interpret=interpret,
     )(xf, xf, wt)
@@ -243,10 +245,9 @@ def _tv_bwd_impl(upsample, interpret, x, sample_weight, g):
                 (W, D),
                 lambda i: (jnp.minimum((i + 1) * rt, n_wblocks - 1), 0),
                 memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            # unblocked SMEM (see the forward's note)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((rt * W, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

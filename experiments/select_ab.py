@@ -43,35 +43,44 @@ def main():
 
     import rangeclip_tpu.ops.pallas.score_topk as sk
 
-    def run(selector, tile_elems=None):
+    def run(f, i, selector, tile_elems=None):
+        # f/i are jit ARGUMENTS — a 0-arg closure would bake the 1.6 GB
+        # field into the program as a literal and stall XLA for tens of
+        # minutes (measured; don't re-learn)
         if tile_elems is not None:
             orig = sk._tile_axis
-            sk._tile_axis = lambda axis, inner: orig(axis, inner,
-                                                     limit=tile_elems)
+            sk._tile_axis = (
+                lambda axis, inner, limit=None: orig(axis, inner,
+                                                     limit=tile_elems))
         try:
             # the unjitted wrapper: monkeypatched tiling must retrace
             idx, val = fused_score_topk.__wrapped__(
-                field, ids, top_k=K, want_values=True, selector=selector,
+                f, i, top_k=K, want_values=True, selector=selector,
                 max_id=S + 16)
         finally:
             if tile_elems is not None:
                 sk._tile_axis = orig
         # pure reductions so XLA elides any padded-layout materialization
         # (the bench checksum rule, CLAUDE.md)
-        return (jnp.sum(idx.astype(jnp.int64)),
+        return (jnp.sum(idx.astype(jnp.int32)),
                 jnp.sum(val.astype(jnp.float32)))
 
+    import functools
+
     run_j = {
-        "knockout": jax.jit(lambda: run("knockout")),
-        "packed": jax.jit(lambda: run("packed")),
-        # packed working set is lighter (i32 keys replace the f32 scores
-        # and the unrolled knockout's live copies): try double the tile
-        "packed4k": jax.jit(lambda: run("packed", 1536 * 1024)),
+        "knockout": jax.jit(functools.partial(run, selector="knockout")),
+        # the knockout-sized tile, to separate selector from tile gains
+        "packed768k": jax.jit(functools.partial(run, selector="packed",
+                                                tile_elems=768 * 1024)),
+        # packed's shipped default (double tile: its working set is
+        # lighter — i32 keys replace the f32 scores and the knockout's
+        # live copies).  Measured 7.66 / 5.84 / 5.67 ms on-chip.
+        "packed": jax.jit(functools.partial(run, selector="packed")),
     }
     sums = {}
     for s in run_j:
         print(f"# compiling+running {s} ...", flush=True)
-        sums[s] = jax.device_get(run_j[s]())
+        sums[s] = jax.device_get(run_j[s](field, ids))
         print(f"# {s} done", flush=True)
     print("# checksums:", {k: (int(v[0]), float(v[1]))
                            for k, v in sums.items()})
@@ -83,11 +92,11 @@ def main():
     best = {s: float("inf") for s in run_j}
     for r in range(ROUNDS):
         for name, fn in run_j.items():
-            out = fn()
+            out = fn(field, ids)
             jax.block_until_ready(out)  # warm/compile outside the timer
             t0 = time.perf_counter()
             for _ in range(ITERS):
-                out = fn()
+                out = fn(field, ids)
             jax.block_until_ready(out)
             best[name] = min(best[name],
                              (time.perf_counter() - t0) / ITERS)

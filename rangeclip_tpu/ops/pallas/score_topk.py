@@ -176,11 +176,15 @@ def _select_kernel_packed(scores_ref, ids_ref, idx_ref, val_ref=None, *,
     jax.lax.fori_loop(0, top_k, emit, pool, unroll=True)
 
 
-# Per-tile element budget rows*S: the selection working set is ~4.6 B/elem
-# (f32 scores + live i32 keys under the unrolled loop + double-buffered
-# bf16 input); 768Ki elems measured ~9.5 MB scoped VMEM of the 16 MB
-# limit (4096x384 OOM'd at 19 MB on v5e).
+# Per-tile element budget rows*S.  Knockout: the working set is ~4.6
+# B/elem (f32 scores + live i32 keys under the unrolled loop + double-
+# buffered bf16 input); 768Ki elems measured ~9.5 MB scoped VMEM of the
+# 16 MB limit (4096x384 OOM'd at 19 MB on v5e).  Packed: one i32 key
+# array replaces the f32 scores and the knockout's live copies, so DOUBLE
+# the tile fits — and wins (experiments/select_ab.py on-chip: knockout
+# 7.66 ms, packed@768Ki 5.84, packed@1536Ki 5.67 at the bench scale).
 _TILE_ELEMS = 768 * 1024
+_TILE_ELEMS_PACKED = 1536 * 1024
 
 
 def _tile_axis(axis: int, inner: int, limit: int = _TILE_ELEMS):
@@ -230,9 +234,35 @@ def fused_score_topk(
     if default_ids:
         candidate_ids = jnp.arange(S, dtype=jnp.int32)
 
+    # Selector dispatch happens BEFORE tiling: the packed path's lighter
+    # working set affords double the tile budget.  bf16 scores take the
+    # packed-key sorted-insert path (module docstring); f32 (the parity
+    # mode) keeps the knockout loop.  The packed id tie-break needs a
+    # STATIC bound: ids < 2**16.  With default ids that bound is S - 1;
+    # with caller-supplied candidate_ids the caller must pass ``max_id``
+    # (its global class count - 1) or auto-dispatch conservatively keeps
+    # the knockout loop.  ``selector`` overrides the dtype dispatch for
+    # A/B scripts and tests (packed still requires bf16 input for its
+    # zero-low-bits guarantee).
+    id_bound = (S - 1) if default_ids else max_id
+    packed_ok = (scores.dtype == jnp.bfloat16 and id_bound is not None
+                 and id_bound < 2**16)
+    if selector == "auto":
+        use_packed = packed_ok
+    elif selector in ("packed", "knockout"):
+        use_packed = selector == "packed"
+        if use_packed and not packed_ok:
+            raise ValueError(
+                "packed selector requires bf16 scores and a static id "
+                f"bound < 2**16 (got dtype {scores.dtype}, bound "
+                f"{id_bound})")
+    else:
+        raise ValueError(f"unknown selector {selector!r}")
+    limit = _TILE_ELEMS_PACKED if use_packed else _TILE_ELEMS
+
     if scores.ndim == 4:
         h, w, B, _ = scores.shape
-        wt = _tile_axis(w, B * S)
+        wt = _tile_axis(w, B * S, limit)
         if wt * B < 8:
             raise ValueError(f"row tile {wt}x{B} below the sublane minimum")
         grid = (h, w // wt)
@@ -242,7 +272,7 @@ def fused_score_topk(
         tn = wt * B
     else:
         scores = scores.reshape(N, S)
-        tn = _tile_axis(N, S)
+        tn = _tile_axis(N, S, limit)
         grid = (N // tn,)
         block = (tn, S)
         in_map = lambda i: (i, 0)
@@ -260,28 +290,6 @@ def fused_score_topk(
 
     nargs = len(grid)
     ids_map = (lambda i: (0,)) if nargs == 1 else (lambda i, j: (0,))
-    # bf16 scores take the packed-key sorted-insert path (module
-    # docstring); f32 (the parity mode) keeps the knockout loop.  The
-    # packed id tie-break needs a STATIC bound: ids < 2**16.  With
-    # default ids that bound is S - 1; with caller-supplied candidate_ids
-    # the caller must pass ``max_id`` (its global class count - 1) or
-    # auto-dispatch conservatively keeps the knockout loop.  ``selector``
-    # overrides the dtype dispatch for A/B scripts and tests (packed
-    # still requires bf16 input for its zero-low-bits guarantee).
-    id_bound = (S - 1) if default_ids else max_id
-    packed_ok = (scores.dtype == jnp.bfloat16 and id_bound is not None
-                 and id_bound < 2**16)
-    if selector == "auto":
-        use_packed = packed_ok
-    elif selector in ("packed", "knockout"):
-        use_packed = selector == "packed"
-        if use_packed and not packed_ok:
-            raise ValueError(
-                "packed selector requires bf16 scores and a static id "
-                f"bound < 2**16 (got dtype {scores.dtype}, bound "
-                f"{id_bound})")
-    else:
-        raise ValueError(f"unknown selector {selector!r}")
     body = _select_kernel_packed if use_packed else _select_kernel
     kernel = functools.partial(body, top_k=top_k)
     out = pl.pallas_call(

@@ -39,27 +39,45 @@ def main():
         loss = total_variation_loss(v, upsample=2, sample_weight=w)
         return loss
 
+    def grad_of(variant, v):
+        gate = orig_gate if variant == "kernel" else (
+            lambda shape, dtype: False)
+        tvk_mod.kernel_applicable = gate
+        try:
+            return jax.value_and_grad(term)(v)
+        finally:
+            tvk_mod.kernel_applicable = orig_gate
+
     def make(variant):
         def fn(v):
-            gate = orig_gate if variant == "kernel" else (
-                lambda shape, dtype: False)
-            tvk_mod.kernel_applicable = gate
-            try:
-                val, grad = jax.value_and_grad(term)(v)
-            finally:
-                tvk_mod.kernel_applicable = orig_gate
-            # pure reductions keep padded layouts out of the checksum
-            return val, jnp.sum(grad.astype(jnp.float32))
+            val, grad = grad_of(variant, v)
+            # pure reduction keeps padded layouts out of the timed program
+            return val, jnp.sum(jnp.abs(grad).astype(jnp.float32))
 
         return jax.jit(fn)
 
+    # Grad parity check in ONE program: any cross-program f32 checksum of
+    # a [1B]-element grad is pure reduction-tree noise (the raw sum
+    # telescopes to ~0; the |.| sum adds ~1e-9 increments to a ~1.0 f32
+    # accumulator, below its ulp — 1.198 vs 1.203 was measured from
+    # healthy grads).  Counting differing elements is exact.
+    @jax.jit
+    def parity(v):
+        val_x, gx = grad_of("xla", v)
+        val_k, gk = grad_of("kernel", v)
+        return (val_x, val_k,
+                jnp.sum((gx != gk).astype(jnp.float32)),
+                jnp.max(jnp.abs(gx.astype(jnp.float32)
+                                - gk.astype(jnp.float32))))
+
+    val_x, val_k, n_diff, max_diff = jax.device_get(parity(x))
+    print(f"# values xla={float(val_x):.7f} kernel={float(val_k):.7f}; "
+          f"grad mismatches={int(n_diff)} max|d|={float(max_diff):.3e}",
+          flush=True)
+    assert abs(val_x - val_k) <= 1e-5 * abs(val_x)
+    assert int(n_diff) == 0, "kernel grad differs elementwise from XLA"
+
     fns = {name: make(name) for name in ("xla", "kernel")}
-    outs = {name: jax.device_get(fn(x)) for name, fn in fns.items()}
-    print("# value/gradsum:", {k: (float(v[0]), float(v[1]))
-                               for k, v in outs.items()})
-    assert abs(outs["xla"][0] - outs["kernel"][0]) <= 1e-5 * abs(
-        outs["xla"][0])
-    assert outs["xla"][1] == outs["kernel"][1], "grad checksum mismatch"
 
     best = {name: float("inf") for name in fns}
     for r in range(ROUNDS):

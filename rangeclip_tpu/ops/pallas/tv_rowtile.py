@@ -57,12 +57,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# x-tile byte budgets (pre-double-buffering).  Backward streams x in and
-# dx out plus carries the f32 gradient and two sign arrays in registers:
-# ~ (2+2)x buffered tiles + ~3 tile-sized working arrays, so a 2 MB
-# x-tile keeps the footprint near 11 MB of the 16 MB VMEM budget.
-_FWD_TILE_BYTES = 4 * 1024 * 1024
-_BWD_TILE_BYTES = 2 * 1024 * 1024
+# x-tile byte budgets (pre-double-buffering).  Mosaic stacks the
+# whole-tile intermediates, so the budgets are MEASURED on v5e, not
+# estimated: forward at a 4 MB tile = 24.37 MB scoped VMEM (rejected),
+# 2 MB compiles and runs; backward at 2 MB = 17.00 MB (rejected by
+# 1 MB — the f32 slope selects add two tile-sized f32 temporaries),
+# 1 MB fits.
+_FWD_TILE_BYTES = 2 * 1024 * 1024
+_BWD_TILE_BYTES = 1 * 1024 * 1024
 
 
 def _pick_rt(H: int, W: int, D: int, esize: int, budget: int) -> int:
@@ -130,12 +132,19 @@ def _bwd_kernel(x_ref, up_ref, dn_ref, w_ref, g_ref, dx_ref, *, H: int,
     gv = g_ref[0, 1] * wt
 
     TR = rt * W
-    one = jnp.asarray(1, x.dtype)
 
     def slope(u):
-        # JAX's d|u|/du convention (+1 at exact ties) in the input dtype,
-        # identical to losses/smoothness.py's sign fields
-        return jnp.where(u >= 0, one, -one)
+        # JAX's d|u|/du convention (+1 at exact ties), returned in the
+        # input dtype (±1 is exact in bf16).  Compare AND select run in
+        # f32, then the result is cast down: Mosaic rejects sub-f32 cmpf
+        # outright ("Target does not support this comparison") and also
+        # cannot relayout an f32-laid-out i1 mask into a bf16-wide
+        # select ("Invalid relayout ... (8,128) -> (16,128)") — both hit
+        # on-chip; bf16->f32 widening is exact so the predicate is
+        # unchanged, and a truncf cast of ±1.0 is exact.
+        uf = u.astype(jnp.float32)
+        return jnp.where(uf >= 0, jnp.float32(1), jnp.float32(-1)
+                         ).astype(x.dtype)
 
     local = jax.lax.broadcasted_iota(jnp.int32, (TR - 1, 1), 0)
     vh = ((local % W) != (W - 1)).astype(x.dtype)

@@ -60,22 +60,31 @@ def main():
     # a [1B]-element grad is pure reduction-tree noise (the raw sum
     # telescopes to ~0; the |.| sum adds ~1e-9 increments to a ~1.0 f32
     # accumulator, below its ulp — 1.198 vs 1.203 was measured from
-    # healthy grads).  Counting differing elements is exact.
+    # healthy grads).  Per-element comparison is exact.  On-chip the two
+    # paths agree to ONE bf16 ulp, not bitwise: the arithmetic is exact
+    # up to the final f32->bf16 cast, and Mosaic's truncf rounds that
+    # cast differently from XLA's fused convert (measured: 216M/1.07B
+    # elements one ulp apart, max|d| = 2.9e-11 = 1 ulp of the 7.5e-9 max
+    # grad; interpret mode is bit-equal).
     @jax.jit
     def parity(v):
         val_x, gx = grad_of("xla", v)
         val_k, gk = grad_of("kernel", v)
+        gxf = gx.astype(jnp.float32)
+        gkf = gk.astype(jnp.float32)
+        d = jnp.abs(gxf - gkf)
+        one_ulp = (jnp.maximum(jnp.abs(gxf), jnp.abs(gkf))
+                   * jnp.float32(2.0 ** -8))
         return (val_x, val_k,
-                jnp.sum((gx != gk).astype(jnp.float32)),
-                jnp.max(jnp.abs(gx.astype(jnp.float32)
-                                - gk.astype(jnp.float32))))
+                jnp.sum((d > one_ulp).astype(jnp.float32)),
+                jnp.max(d))
 
-    val_x, val_k, n_diff, max_diff = jax.device_get(parity(x))
+    val_x, val_k, n_bad, max_diff = jax.device_get(parity(x))
     print(f"# values xla={float(val_x):.7f} kernel={float(val_k):.7f}; "
-          f"grad mismatches={int(n_diff)} max|d|={float(max_diff):.3e}",
+          f"grad >1ulp mismatches={int(n_bad)} max|d|={float(max_diff):.3e}",
           flush=True)
     assert abs(val_x - val_k) <= 1e-5 * abs(val_x)
-    assert int(n_diff) == 0, "kernel grad differs elementwise from XLA"
+    assert int(n_bad) == 0, "kernel grad differs from XLA beyond cast ulp"
 
     fns = {name: make(name) for name in ("xla", "kernel")}
 

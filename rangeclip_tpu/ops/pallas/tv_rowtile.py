@@ -42,10 +42,17 @@ Design notes (why THIS shape, after two measured negatives):
 
 Semantics match losses/smoothness.py exactly: differences and signs in
 the INPUT dtype (±1 exact in bf16), |.| summed in f32, the d|u|/du = +1
-at-ties convention, and the same upsample pair-count rescale — the only
-divergence from the XLA values is f32 partial-sum order.  Dispatched
-from losses/smoothness.py under ``use_tpu_kernels()`` for bf16 fields;
-fp32 (the bit-parity mode vs the torch reference) keeps XLA.
+at-ties convention, and the same upsample pair-count rescale.
+Divergences from the XLA values, both benign: the forward value differs
+by f32 partial-sum order (~1e-5 rel), and ON HARDWARE the backward
+differs from the XLA VJP by at most ONE bf16 ulp per element — the
+arithmetic is exact up to the final f32->bf16 cast, and Mosaic's truncf
+rounds that cast differently from XLA's fused convert (measured at the
+canonical train shape: 20% of elements one ulp apart, max|d| = 1 ulp of
+the max grad; interpret mode is BIT-equal, tests/test_pallas_kernels).
+Dispatched from losses/smoothness.py under ``use_tpu_kernels()`` for
+bf16 fields; fp32 (the bit-parity mode vs the torch reference) keeps
+XLA.
 """
 
 from __future__ import annotations

@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--w_text", type=float, default=1.0)
     parser.add_argument("--w_image", type=float, default=0.5)
     parser.add_argument("--w_smooth", type=float, default=2e2)
+    parser.add_argument(
+        "--contrast_capacity", type=int, default=128,
+        help="Packed-contrast CE capacity on TPU bf16 runs (0 disables): "
+        "the fused CE scores a gathered member table of this many class "
+        "slots instead of the full label table when the live contrast set "
+        "fits, falling back to full-table scoring on overflow.")
     parser.add_argument("--accumulation_steps", type=int, default=8)
 
     # Checkpointing and logging (train.py:64-77)
@@ -167,6 +173,7 @@ def main(argv=None) -> None:
         w_text=args.w_text,
         w_image=args.w_image,
         w_smooth=args.w_smooth,
+        contrast_capacity=args.contrast_capacity,
         bf16=args.bf16,
         ddp_parity=args.ddp_parity,
         seed=args.seed,

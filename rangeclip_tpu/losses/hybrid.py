@@ -47,6 +47,12 @@ class HybridLossConfig:
     # jax.random.binomial's rejection while_loops CO-RESIDING in a large
     # XLA program, not the sampling math.  Stays opt-in for standalone use.
     pixel_sampler: str = "auto"
+    # Packed-contrast CE capacity (TPU bf16 mode only): the fused CE
+    # scores a gathered [K, D] member table instead of all C classes when
+    # the live contrast set fits (typically present-labels + k_distractors
+    # << C); a lax.cond falls back to the full-C kernel on overflow, so
+    # the loss value is preserved for every input.  None disables packing.
+    contrast_capacity: int | None = 128
 
 
 def pixel_sampling_key(rng: jax.Array) -> jax.Array:
@@ -186,7 +192,7 @@ def compute_hybrid_loss(
                 2, 4, 0, 1, 3).reshape(s * s, B_ * h_ * w_)
         text_loss = pixel_text_infonce(
             samples, labels, valid, candidate_text_embeddings, contrast_mask,
-            temperature_text,
+            temperature_text, contrast_capacity=cfg.contrast_capacity,
         )
 
     image_loss = jnp.float32(0.0)

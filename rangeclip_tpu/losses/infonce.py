@@ -297,6 +297,25 @@ def build_contrast_mask(
     return present | chosen_mh | chosen_rand
 
 
+def pack_contrast_set(contrast_mask: jax.Array, text_normalized: jax.Array,
+                      capacity: int):
+    """Gather the contrast-set members into a fixed-capacity table.
+
+    Returns ``(class_ids [K], table [K, D], packed_mask [K])``: the members'
+    ASCENDING global class ids (sentinel C in padded slots), their text
+    rows, and the slot-validity mask.  Gathering K rows from the [C, D]
+    table is a SMALL-index gather (cheap); the labels are never remapped —
+    the CE kernel compares them against ``class_ids`` directly (a
+    big-index remap gather is pathological on TPU, see
+    ops/pallas/pixel_text_ce.py)."""
+    C = contrast_mask.shape[0]
+    ids = jnp.nonzero(contrast_mask, size=capacity, fill_value=C)[0].astype(
+        jnp.int32
+    )
+    table = jnp.take(text_normalized, jnp.clip(ids, 0, C - 1), axis=0)
+    return ids, table, ids < C
+
+
 def pixel_text_infonce(
     samples: jax.Array,
     labels: jax.Array,
@@ -304,6 +323,7 @@ def pixel_text_infonce(
     text_embeddings: jax.Array,
     contrast_mask: jax.Array,
     temperature: jax.Array,
+    contrast_capacity: int | None = None,
 ) -> jax.Array:
     """Masked cross-entropy over pixel x text similarities (model.py:271-291).
 
@@ -320,6 +340,13 @@ def pixel_text_infonce(
     kernel pair (custom VJP) that never materializes the [N, C] logits in
     HBM (ops/pallas/pixel_text_ce.py); elsewhere it is the XLA formulation
     below.  Both produce identical values and gradients (tests).
+
+    ``contrast_capacity`` (TPU bf16 mode only): score a gathered
+    fixed-capacity member table instead of all C masked columns when the
+    live contrast set fits — ~C/K times less MXU and VPU work; a lax.cond
+    falls back to the full-C kernel on overflow so the value is preserved
+    for every input (packed values match the full form up to f32
+    reduction order).  Rounded up to a 128-lane multiple.
     """
     n_contrast = jnp.sum(contrast_mask.astype(jnp.int32))
     n_valid = jnp.sum(valid)
@@ -329,9 +356,38 @@ def pixel_text_infonce(
         from rangeclip_tpu.ops.pallas.pixel_text_ce import fused_pixel_text_ce
 
         text_n = l2_normalize(text_embeddings.astype(jnp.float32), axis=-1)
-        ce_sum = fused_pixel_text_ce(
-            samples, temperature, labels, valid, text_n, contrast_mask
-        )
+        K = contrast_capacity
+        if K is not None:
+            K = max(128, -(-K // 128) * 128)  # Mosaic lane/sublane multiple
+        if (K is not None and K < text_n.shape[0]
+                and samples.dtype == jnp.bfloat16):
+            # Packed contrast (bf16 perf mode): score only the gathered
+            # member table — the live set is typically present-labels +
+            # k=50 distractors, far below C.  Values match the full form
+            # up to f32 reduction order over K vs C lanes (the fp32
+            # parity mode keeps the full-C kernel).  The cond falls back
+            # to the full kernel when the live set overflows K, so the
+            # loss stays exact for every input.
+            ids, table, packed_mask = pack_contrast_set(contrast_mask,
+                                                        text_n, K)
+
+            def _packed(_):
+                return fused_pixel_text_ce(
+                    samples, temperature, labels, valid, table,
+                    packed_mask, 512, False, ids,
+                )
+
+            def _full(_):
+                return fused_pixel_text_ce(
+                    samples, temperature, labels, valid, text_n,
+                    contrast_mask,
+                )
+
+            ce_sum = jax.lax.cond(n_contrast <= K, _packed, _full, 0)
+        else:
+            ce_sum = fused_pixel_text_ce(
+                samples, temperature, labels, valid, text_n, contrast_mask
+            )
         loss = ce_sum / jnp.maximum(n_valid, 1.0)
         return jnp.where(ok, loss, 0.0)
 

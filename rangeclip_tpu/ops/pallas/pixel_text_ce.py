@@ -18,6 +18,21 @@ materialize in HBM three times (logits, logsumexp pass, gather pass) —
 Gradients flow to ``samples`` and the scalar ``temperature`` only — the
 text table is frozen (reference train_util.py:129-131), so its cotangent is
 zero by construction.
+
+PACKED CONTRAST (``class_ids``): the contrast set is typically far smaller
+than the label table (present labels + k=50 distractors vs C classes), so
+scoring all C columns wastes MXU and VPU work in proportion.  The caller
+may gather the member rows into a fixed-capacity [K, D] table and pass the
+members' ASCENDING global class ids as ``class_ids`` [K] (sentinel >= C in
+padded slots, mask 0): the kernels then compare label targets against the
+id row instead of the column iota, so labels stay GLOBAL — no [S, N]
+label remap, which a small-table XLA gather would make pathological on
+TPU (measured 86 ms for a 10.5M-index remap; see score_topk's identical
+in-kernel remap for predict).  Softmax membership is unchanged (padded
+columns get -inf logits), so values match the full-C form up to f32
+reduction order over K vs C lanes.  losses/infonce.py builds the packing
+and falls back to the full-C kernel via lax.cond when the live contrast
+set overflows K.
 """
 
 from __future__ import annotations
@@ -54,15 +69,25 @@ def _tile_logits(samples_ref, text_ref, mask_ref, inv_temp):
     return emb, rs, logits
 
 
+def _col_ids(ids_ref, TN, C):
+    """Per-column target ids: the class-axis iota for full-table scoring,
+    or the broadcast global-id row for the packed-contrast form (labels
+    stay global; padded slots carry a sentinel >= C no label can match)."""
+    if ids_ref is None:
+        return jax.lax.broadcasted_iota(jnp.int32, (TN, C), dimension=1)
+    return jnp.broadcast_to(ids_ref[:], (TN, C))
+
+
 def _fwd_kernel(inv_temp_ref, samples_ref, labels_ref, valid_ref, text_ref,
-                mask_ref, ce_ref):
+                mask_ref, *refs):
+    ids_ref, ce_ref = refs if len(refs) == 2 else (None, refs[0])
     _, _, logits = _tile_logits(samples_ref, text_ref, mask_ref,
                                 inv_temp_ref[0])
     m = jnp.max(logits, axis=1, keepdims=True)
     lse = m[:, 0] + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1))
 
     TN, C = logits.shape
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TN, C), dimension=1)
+    cols = _col_ids(ids_ref, TN, C)
     # Label SLOTS: each sample row carries S (label, weight) pairs and its
     # CE contribution is sum_s w_s (lse - picked_s) — the native-resolution
     # training identity, where one decoder pixel serves the labels of its
@@ -81,7 +106,10 @@ def _fwd_kernel(inv_temp_ref, samples_ref, labels_ref, valid_ref, text_ref,
 
 
 def _bwd_kernel(inv_temp_ref, coeff_ref, samples_ref, labels_ref, valid_ref,
-                text_ref, mask_ref, dsamples_ref, dtau_ref):
+                text_ref, mask_ref, *refs):
+    ids_ref, dsamples_ref, dtau_ref = (
+        refs if len(refs) == 3 else (None, refs[0], refs[1])
+    )
     emb, rs, logits = _tile_logits(samples_ref, text_ref, mask_ref,
                                    inv_temp_ref[0])
     m = jnp.max(logits, axis=1, keepdims=True)
@@ -89,7 +117,7 @@ def _bwd_kernel(inv_temp_ref, coeff_ref, samples_ref, labels_ref, valid_ref,
     inv_z = 1.0 / jnp.sum(e, axis=1)  # [TN]
 
     TN, C = logits.shape
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TN, C), dimension=1)
+    cols = _col_ids(ids_ref, TN, C)
 
     # Multi-slot generalization (see _fwd_kernel): with per-row weight sum
     # W = sum_s w_s,  d logits = p * W - sum_s w_s * onehot_s,  and
@@ -182,8 +210,13 @@ def _fwd_rows(H: int, W: int, C: int = 512):
 def _bwd_rows(H: int, W: int, C: int = 512):
     import os
 
+    # The backward's VMEM-bound row cap scales inversely with the class
+    # axis: rh=2 is the measured limit at C=512, and the packed-contrast
+    # form (C=K=128) frees 4x the score/onehot tile budget.
+    default = max(2, (2 * 512) // max(C, 128))
     return _rows_per_block(
-        H, W, int(os.environ.get("RANGECLIP_CE_ROWS_BWD", "2")), C=C)
+        H, W, int(os.environ.get("RANGECLIP_CE_ROWS_BWD", str(default))),
+        C=C)
 
 
 def _as_slots(labels, valid):
@@ -215,6 +248,7 @@ def fused_pixel_text_ce(
     contrast_mask: jax.Array,
     tile_n: int = 512,
     interpret: bool = False,
+    class_ids: jax.Array | None = None,
 ) -> jax.Array:
     """sum_i valid_i * CE_i — the caller divides by n_valid and gates.
 
@@ -234,9 +268,14 @@ def fused_pixel_text_ce(
         (native-MXU matmul, f32 accumulation), f32 otherwise (bit-identical
         parity mode).
       contrast_mask: [C] bool contrast-set membership.
+      class_ids: optional [C] int32 GLOBAL class id per table row — the
+        packed-contrast form, where ``text_normalized`` is a gathered
+        fixed-capacity member table (see the module docstring).  Padded
+        slots must carry an id >= the global class count (no label
+        matches) and contrast_mask 0.  Default: row i is class i.
     """
     return _ce_forward(samples, temperature, labels, valid, text_normalized,
-                       contrast_mask, tile_n, interpret)
+                       contrast_mask, tile_n, interpret, class_ids)
 
 
 def _specs_and_grid(samples, tile_n, rows_fn=None, C=512):
@@ -263,7 +302,7 @@ def _specs_and_grid(samples, tile_n, rows_fn=None, C=512):
 
 
 def _ce_forward(samples, temperature, labels, valid, text_normalized,
-                contrast_mask, tile_n, interpret):
+                contrast_mask, tile_n, interpret, class_ids=None):
     labels, valid = _as_slots(labels, valid)
     S = labels.shape[0]
     C_classes = text_normalized.shape[0]
@@ -281,42 +320,50 @@ def _ce_forward(samples, temperature, labels, valid, text_normalized,
     grid, samples_spec, row_tile, n_padded = _specs_and_grid(
         samples_p, tile_n, C=C)
 
-    ce = pl.pallas_call(
-        _fwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_temp [1]
-            samples_spec,
-            pl.BlockSpec((S, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, row_tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_padded), jnp.float32),
-        interpret=interpret,
-    )(
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_temp [1]
+        samples_spec,
+        pl.BlockSpec((S, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
+    ]
+    operands = [
         (1.0 / temperature).astype(jnp.float32).reshape(1),
         samples_p,
         labels_p.astype(jnp.int32),
         valid_p.astype(jnp.float32),
         text_normalized.astype(_mm_dtype(samples)),
         contrast_mask.astype(jnp.int32),
-    )
+    ]
+    if class_ids is not None:
+        in_specs.append(pl.BlockSpec((1, C), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(class_ids.astype(jnp.int32).reshape(1, C))
+
+    ce = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, row_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_padded), jnp.float32),
+        interpret=interpret,
+    )(*operands)
     return jnp.sum(ce)
 
 
 def _ce_fwd_rule(samples, temperature, labels, valid, text_normalized,
-                 contrast_mask, tile_n, interpret):
+                 contrast_mask, tile_n, interpret, class_ids=None):
     out = _ce_forward(samples, temperature, labels, valid, text_normalized,
-                      contrast_mask, tile_n, interpret)
+                      contrast_mask, tile_n, interpret, class_ids)
     return out, (samples, temperature, labels, valid, text_normalized,
-                 contrast_mask)
+                 contrast_mask, class_ids)
 
 
 def _ce_bwd_rule(tile_n, interpret, residuals, g):
-    samples, temperature, labels, valid, text_normalized, contrast_mask = residuals
+    (samples, temperature, labels, valid, text_normalized, contrast_mask,
+     class_ids) = residuals
     orig_shape = samples.shape
     labels2, valid2 = _as_slots(labels, valid)
     S = labels2.shape[0]
@@ -338,18 +385,33 @@ def _ce_bwd_rule(tile_n, interpret, residuals, g):
         samples.shape if samples.ndim == 4 else (n_padded, D)
     )
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_temp [1]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff [1]
+        samples_spec,
+        pl.BlockSpec((S, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
+    ]
+    operands = [
+        (1.0 / temperature).astype(jnp.float32).reshape(1),
+        jnp.asarray(g, jnp.float32).reshape(1),
+        samples_p,
+        labels_p.astype(jnp.int32),
+        valid_p.astype(jnp.float32),
+        text_normalized.astype(_mm_dtype(samples)),
+        contrast_mask.astype(jnp.int32),
+    ]
+    if class_ids is not None:
+        in_specs.append(pl.BlockSpec((1, C), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(class_ids.astype(jnp.int32).reshape(1, C))
+
     dsamples, dtau_rows = pl.pallas_call(
         _bwd_kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_temp [1]
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff [1]
-            samples_spec,
-            pl.BlockSpec((S, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             samples_spec,
             pl.BlockSpec((1, row_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -359,15 +421,7 @@ def _ce_bwd_rule(tile_n, interpret, residuals, g):
             jax.ShapeDtypeStruct((1, n_padded), jnp.float32),
         ],
         interpret=interpret,
-    )(
-        (1.0 / temperature).astype(jnp.float32).reshape(1),
-        jnp.asarray(g, jnp.float32).reshape(1),
-        samples_p,
-        labels_p.astype(jnp.int32),
-        valid_p.astype(jnp.float32),
-        text_normalized.astype(_mm_dtype(samples)),
-        contrast_mask.astype(jnp.int32),
-    )
+    )(*operands)
 
     d_samples = dsamples if samples.ndim == 4 else dsamples[:N]
     d_samples = d_samples.reshape(orig_shape)
@@ -383,6 +437,7 @@ def _ce_bwd_rule(tile_n, interpret, residuals, g):
         jnp.zeros_like(valid),
         jnp.zeros_like(text_normalized),
         zeros_f0(contrast_mask),
+        None if class_ids is None else zeros_f0(class_ids),
     )
 
 

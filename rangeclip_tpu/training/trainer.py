@@ -100,6 +100,9 @@ class TrainerConfig:
     w_text: float = 1.0
     w_image: float = 0.5
     w_smooth: float = 2e2
+    # Packed-contrast CE capacity (TPU bf16 path; see HybridLossConfig).
+    # 0 disables packing (always score the full class table).
+    contrast_capacity: int = 128
     embedding_dim: int = 512
     use_batch_norm: bool = True
     seed: int = 0
@@ -247,7 +250,8 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
     equiv_map_j = replicate(mesh, jnp.asarray(equiv_class_map))
 
     loss_cfg = HybridLossConfig(
-        w_text=cfg.w_text, w_image=cfg.w_image, w_smooth=cfg.w_smooth
+        w_text=cfg.w_text, w_image=cfg.w_image, w_smooth=cfg.w_smooth,
+        contrast_capacity=cfg.contrast_capacity or None,
     )
     train_step = make_train_step(model, optimizer, loss_cfg,
                                  cfg.accumulation_steps,

@@ -793,3 +793,103 @@ def test_decoder_dispatches_fused_l2_normalize(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(field_tpu, np.float32), np.asarray(field_cpu, np.float32),
         rtol=2e-2, atol=2e-2)
+
+
+def test_fused_ce_packed_contrast_matches_full():
+    """Packed-contrast CE: scoring the gathered [K, D] member table with
+    global ids compared in-kernel equals the full-C masked kernel (same
+    member columns, reduction order over K vs C lanes is the only
+    difference), values and grads, flat and slot labels."""
+    from rangeclip_tpu.losses.infonce import pack_contrast_set
+    from rangeclip_tpu.ops.pallas.pixel_text_ce import fused_pixel_text_ce
+
+    rng = np.random.default_rng(21)
+    N, D, C, K, S = 256, 32, 64, 32, 2
+    text = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
+    text_n = l2_normalize(text, axis=-1)
+    t0 = jnp.float32(0.07)
+
+    for slots in (False, True):
+        shape = (S, N) if slots else (N,)
+        labels = jnp.asarray(rng.integers(1, 20, shape), jnp.int32)
+        valid = jnp.asarray((rng.random(shape) > 0.3), jnp.float32)
+        mask = np.zeros(C, bool)
+        mask[np.unique(np.asarray(labels))] = True
+        mask[rng.choice(C, 8, replace=False)] = True
+        assert mask.sum() <= K
+        mask = jnp.asarray(mask)
+        ids, table, pmask = pack_contrast_set(mask, text_n, K)
+        # padded slots: sentinel id C, mask 0, ids ascending
+        assert int(jnp.sum(pmask)) == int(jnp.sum(mask))
+        np.testing.assert_array_equal(
+            np.asarray(ids[pmask]), np.flatnonzero(np.asarray(mask)))
+        assert np.all(np.asarray(ids[~pmask]) == C)
+
+        s = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+
+        def full(s, t):
+            return fused_pixel_text_ce(s, t, labels, valid, text_n, mask,
+                                       64, True)
+
+        def packed(s, t):
+            return fused_pixel_text_ce(s, t, labels, valid, table, pmask,
+                                       64, True, ids)
+
+        np.testing.assert_allclose(float(packed(s, t0)), float(full(s, t0)),
+                                   rtol=1e-6)
+        ga = jax.grad(full, argnums=(0, 1))(s, t0)
+        gb = jax.grad(packed, argnums=(0, 1))(s, t0)
+        # K-lane vs C-lane f32 reduction order: ~1e-7-scale differences
+        np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(ga[0]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(gb[1]), float(ga[1]), rtol=1e-5)
+
+
+def test_pixel_text_infonce_packed_dispatch_and_overflow(monkeypatch):
+    """The TPU dispatch packs when the live contrast set fits the capacity
+    and lax.cond-falls-back to the full kernel when it overflows — the
+    loss value (and grads) must match the capacity-None path either way."""
+    import rangeclip_tpu.ops.pallas.pixel_text_ce as ce_mod
+    from rangeclip_tpu.losses.infonce import pixel_text_infonce
+
+    real = ce_mod.fused_pixel_text_ce
+
+    def interp(s, t, labels, valid, text, mask, tile_n=512, interpret=False,
+               class_ids=None):
+        return real(s, t, labels, valid, text, mask, tile_n, True, class_ids)
+
+    monkeypatch.setattr(ce_mod, "fused_pixel_text_ce", interp)
+    monkeypatch.setenv("RANGECLIP_PLATFORM", "tpu")
+
+    rng = np.random.default_rng(5)
+    N, D, C = 256, 32, 160  # capacity rounds up to 128 < C
+    s = jnp.asarray(rng.standard_normal((N, D)), jnp.bfloat16)
+    text = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
+    labels = jnp.asarray(rng.integers(1, 20, N), jnp.int32)
+    valid = jnp.asarray((rng.random(N) > 0.3), jnp.float32)
+    t0 = jnp.float32(0.07)
+
+    for overflow in (False, True):
+        mask = np.zeros(C, bool)
+        mask[np.unique(np.asarray(labels))] = True
+        if overflow:
+            mask[:] = True  # 160 members > K=128 -> cond takes full branch
+        mask = jnp.asarray(mask)
+
+        def with_cap(s):
+            return pixel_text_infonce(s, labels, valid, text, mask, t0,
+                                      contrast_capacity=96)
+
+        def no_cap(s):
+            return pixel_text_infonce(s, labels, valid, text, mask, t0)
+
+        va, vb = float(with_cap(s)), float(no_cap(s))
+        if overflow:
+            assert va == vb  # same branch, bitwise
+        else:
+            np.testing.assert_allclose(va, vb, rtol=1e-5)
+        ga = jax.grad(lambda x: with_cap(x).astype(jnp.float32))(s)
+        gb = jax.grad(lambda x: no_cap(x).astype(jnp.float32))(s)
+        np.testing.assert_allclose(
+            np.asarray(ga, np.float32), np.asarray(gb, np.float32),
+            rtol=2e-2, atol=1e-6)

@@ -226,3 +226,27 @@ def test_export_catches_unlowerable_kernel():
     x = jnp.zeros((16, 128), jnp.float32)
     with pytest.raises(Exception, match="dynamic_slice|Unimplemented"):
         _export_tpu(run, x)
+
+
+def test_pixel_text_ce_packed_lowers():
+    """Packed-contrast form: gathered [K, D] table + global-id row compare
+    (the broadcast of a [1, K] id row into the one-hot compares is the
+    Mosaic-sensitive part — sublane-replicated rows have broken layout
+    inference in where() before, score_topk docstring)."""
+    from rangeclip_tpu.ops.pallas.pixel_text_ce import fused_pixel_text_ce
+
+    n, s, K = B * H * W, 4, 128  # pretend C_global=256, packed to K=128
+    emb = jnp.zeros((B, H, W, D), jnp.bfloat16)
+    temp = jnp.float32(0.07)
+    labels = jnp.zeros((s, n), jnp.int32)
+    valid = jnp.ones((s, n), jnp.float32)
+    table = jnp.zeros((K, D), jnp.bfloat16)
+    pmask = jnp.ones((K,), jnp.bool_)
+    ids = jnp.arange(K, dtype=jnp.int32) * 2  # ascending global ids
+
+    def loss(e, t):
+        return fused_pixel_text_ce(e, t, labels, valid, table, pmask,
+                                   512, False, ids)
+
+    _export_tpu(loss, emb, temp)
+    _export_tpu(jax.grad(loss, argnums=(0, 1)), emb, temp)

@@ -203,8 +203,17 @@ def _rows_per_block(H: int, W: int, prefer: int = 2, C: int = 512):
 def _fwd_rows(H: int, W: int, C: int = 512):
     import os
 
+    # Probe result (experiments/ce_rows_probe.py, on chip): the forward is
+    # bound by the [N, D] field work — its time is INVARIANT to both C and
+    # the row tile (full-C rh=8 7.07 ms == packed rh=16 6.76 ms isolated;
+    # don't chase it with tiling).  rh=16 is still worth the free ~0.3 ms
+    # where the packed class axis (C <= 256) leaves the VMEM headroom;
+    # rh=16 at C=512 also compiles but measures as noise, so the full-C
+    # default stays at the long-standing 8.
+    default = 16 if C <= 256 else 8
     return _rows_per_block(
-        H, W, int(os.environ.get("RANGECLIP_CE_ROWS_FWD", "8")), C=C)
+        H, W, int(os.environ.get("RANGECLIP_CE_ROWS_FWD", str(default))),
+        C=C)
 
 
 def _bwd_rows(H: int, W: int, C: int = 512):
@@ -212,7 +221,9 @@ def _bwd_rows(H: int, W: int, C: int = 512):
 
     # The backward's VMEM-bound row cap scales inversely with the class
     # axis: rh=2 is the measured limit at C=512, and the packed-contrast
-    # form (C=K=128) frees 4x the score/onehot tile budget.
+    # form (C=K=128) frees 4x the score/onehot tile budget (rh=8; rh=16 is
+    # Mosaic-VMEM-rejected on chip even at C=128 — the dsamples/emb [TN, D]
+    # tiles don't shrink with C; experiments/ce_rows_probe.py).
     default = max(2, (2 * 512) // max(C, 128))
     return _rows_per_block(
         H, W, int(os.environ.get("RANGECLIP_CE_ROWS_BWD", str(default))),

@@ -409,6 +409,12 @@ def test_large_class_count_tiles_shrink_and_match():
     assert _topk_rows_per_block(128, 128, C=4096) * 128 == 256
     assert _fwd_rows(128, 128, C=4096) * 128 <= 256
     assert _bwd_rows(128, 128, C=4096) * 128 <= 256
+    # Canonical measured defaults (experiments/ce_rows_probe.py) — on-chip
+    # VMEM limits, don't bump without re-measuring there:
+    assert _fwd_rows(128, 128, C=512) == 8
+    assert _bwd_rows(128, 128, C=512) == 2
+    assert _fwd_rows(128, 128, C=128) == 16   # packed contrast
+    assert _bwd_rows(128, 128, C=128) == 8    # rh=16 VMEM-rejected on chip
 
     C, D, N = 4096, 32, 128
     rng = np.random.default_rng(12)

@@ -10,8 +10,11 @@ step with HybridLossConfig.contrast_capacity toggled, interleaved
 rounds in ONE process.
 
 Run on the TPU machine:  python experiments/ce_packed_ab.py
+(AB_C=2048 sweeps the NYUv2-scale label table, where the full-C CE cost
+scales 4x but the packed form stays at K=128.)
 """
 
+import os
 import time
 
 import jax
@@ -24,7 +27,8 @@ from rangeclip_tpu.training.optim import make_optimizer
 from rangeclip_tpu.training.state import create_train_state
 from rangeclip_tpu.training.train_step import make_train_step
 
-A, B, RES, C, D = 1, 32, 256, 512, 512
+A, B, RES, D = 1, 32, 256, 512
+C = int(os.environ.get("AB_C", 512))
 ROUNDS, ITERS = 6, 8
 
 

@@ -249,6 +249,11 @@ def main() -> None:
                 "value": round(maps_per_sec, 2),
                 "unit": "maps/s",
                 "vs_baseline": round(maps_per_sec / REF_BASELINE_MAPS_PER_SEC, 3),
+                # the denominator is an ESTIMATED reference-GPU figure
+                # (BASELINE.md derivation; no GPU exists here to measure) —
+                # carry this caveat wherever vs_baseline is quoted
+                "baseline_note": "denominator 300 maps/s is an estimated "
+                                 "reference-GPU figure (BASELINE.md)",
             }
         )
     )

@@ -61,7 +61,10 @@ def main():
             if tile_elems is not None:
                 sk._tile_axis = orig
         # pure reductions so XLA elides any padded-layout materialization
-        # (the bench checksum rule, CLAUDE.md)
+        # (the bench checksum rule, CLAUDE.md).  The int32 index sum wraps
+        # (deterministic modular arithmetic over ~50M values without x64) —
+        # cross-variant EQUALITY is still exact, but the printed value is
+        # the wrapped sum, not the true index total.
         return (jnp.sum(idx.astype(jnp.int32)),
                 jnp.sum(val.astype(jnp.float32)))
 

@@ -307,7 +307,12 @@ def pack_contrast_set(contrast_mask: jax.Array, text_normalized: jax.Array,
     table is a SMALL-index gather (cheap); the labels are never remapped —
     the CE kernel compares them against ``class_ids`` directly (a
     big-index remap gather is pathological on TPU, see
-    ops/pallas/pixel_text_ce.py)."""
+    ops/pallas/pixel_text_ce.py).
+
+    Labels the CE will be asked to pick must be MEMBERS of
+    ``contrast_mask`` (see the :func:`pixel_text_infonce` packed-path
+    precondition): a non-member valid label has no slot here, so its
+    per-row picked logit silently becomes 0 rather than a penalty."""
     C = contrast_mask.shape[0]
     ids = jnp.nonzero(contrast_mask, size=capacity, fill_value=C)[0].astype(
         jnp.int32
@@ -347,6 +352,14 @@ def pixel_text_infonce(
     falls back to the full-C kernel on overflow so the value is preserved
     for every input (packed values match the full form up to f32
     reduction order).  Rounded up to a 128-lane multiple.
+
+    PRECONDITION (packed path): every label with valid > 0 must be a
+    member of ``contrast_mask``.  :func:`build_contrast_mask` guarantees
+    this (present labels are always members), but an external caller
+    passing a hand-built mask that excludes a valid label would get a
+    silently smaller loss on the packed branch (the label's picked logit
+    is 0 instead of the full branch's ~1e30 lse-minus-NEG_INF penalty) —
+    a data-dependent divergence between the two lax.cond branches.
     """
     n_contrast = jnp.sum(contrast_mask.astype(jnp.int32))
     n_valid = jnp.sum(valid)

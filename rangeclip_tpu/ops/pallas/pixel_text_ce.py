@@ -223,8 +223,12 @@ def _bwd_rows(H: int, W: int, C: int = 512):
     # axis: rh=2 is the measured limit at C=512, and the packed-contrast
     # form (C=K=128) frees 4x the score/onehot tile budget (rh=8; rh=16 is
     # Mosaic-VMEM-rejected on chip even at C=128 — the dsamples/emb [TN, D]
-    # tiles don't shrink with C; experiments/ce_rows_probe.py).
-    default = max(2, (2 * 512) // max(C, 128))
+    # tiles don't shrink with C; experiments/ce_rows_probe.py).  Only the
+    # C<=128 (rh=8) and C>=512 (rh=2) points are MEASURED on chip, so the
+    # default clamps to those anchors instead of interpolating — an
+    # intermediate C (e.g. 256) could hit a Mosaic scoped-VMEM rejection
+    # at compile time on untested tile sizes.
+    default = 8 if C <= 128 else 2
     return _rows_per_block(
         H, W, int(os.environ.get("RANGECLIP_CE_ROWS_BWD", str(default))),
         C=C)

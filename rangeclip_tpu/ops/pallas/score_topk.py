@@ -144,7 +144,7 @@ def _select_kernel_packed(scores_ref, ids_ref, idx_ref, val_ref=None, *,
     # would be a dynamic_slice of a VALUE, which has no Mosaic TC
     # lowering rule ("Unimplemented primitive ... dynamic_slice", hit on
     # hardware — interpret mode cannot catch it; the TPU-lowering
-    # regression test in tests/test_pallas_kernels.py now does).
+    # regression test in tests/test_tpu_lowering.py now does).
     regs = [jnp.full((8, tn), _INT_MIN, jnp.int32) for _ in range(top_k)]
     for c in range(S // 8):
         t = key[c * 8:(c + 1) * 8, :]

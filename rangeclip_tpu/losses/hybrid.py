@@ -171,10 +171,21 @@ def compute_hybrid_loss(
             else:
                 n_per_item = valid.shape[0] // B
                 valid = valid * jnp.repeat(sw, n_per_item)
+        # Kernel mode: presence partitions over the mesh axes the field is
+        # sharded on, which needs the labels in FIELD shape [S, B, h, w]
+        # (every kernel-mode sampler emits (weights, labels) covering
+        # exactly the field's pixels).  The XLA scatter path is
+        # shape-invariant, so flat is fine there.
+        if use_tpu_kernels():
+            fB, fh, fw = pixel_embeddings.shape[:3]
+            cm_labels = labels.reshape(-1, fB, fh, fw)
+            cm_valid = valid.reshape(-1, fB, fh, fw)
+        else:
+            cm_labels, cm_valid = labels.reshape(-1), valid.reshape(-1)
         contrast_mask = build_contrast_mask(
             key_contrast,
-            labels.reshape(-1),
-            valid.reshape(-1),
+            cm_labels,
+            cm_valid,
             num_classes,
             medium_matrix,
             hard_matrix,

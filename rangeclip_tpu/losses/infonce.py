@@ -115,10 +115,14 @@ def sample_pixel_multiplicities(
     if use_tpu_kernels():
         # XLA lowers the scatter-add histogram to a serialized per-index
         # update (~9.8 ms/step at the canonical config, 14% of the step);
-        # the MXU one-hot matmul is bit-identical and ~6x faster.
-        from rangeclip_tpu.ops.pallas.histogram import fused_histogram
+        # the MXU one-hot matmul is bit-identical and ~6x faster.  Rows
+        # are independent per image, so under a mesh the kernel runs
+        # per-'data'-shard (parallel/kernel_shard.py).
+        from rangeclip_tpu.parallel.kernel_shard import sharded_histogram
+        from rangeclip_tpu.utils.platform import kernel_interpret
 
-        counts = fused_histogram(idx, n_total)
+        counts = sharded_histogram(idx, n_total,
+                                   interpret=kernel_interpret())
     else:
         counts = jax.vmap(
             lambda row: jnp.zeros((n_total,), jnp.int32).at[row].add(1)
@@ -248,7 +252,10 @@ def build_contrast_mask(
     from the remaining classes.
 
     Args:
-      labels / valid: flat sampled labels [N] and their weights [N].
+      labels / valid: sampled labels and their weights — flat [N], or
+        field-shaped [B, h, w] / [S, B, h, w] (the kernel path passes the
+        field layout so presence partitions over the mesh axes the field
+        is sharded on; the value is shape-invariant).
       medium_matrix / hard_matrix: [C, C] bool, row l = similarity set of l
         (see data/labels.py).
       pct_medium / pct_hard: curriculum fractions — may be traced scalars;
@@ -259,10 +266,14 @@ def build_contrast_mask(
     C = num_classes
     if use_tpu_kernels():
         # XLA lowers the scatter-max to a serialized path (~4 ms for 180k
-        # labels); the tiled compare-reduce kernel is ~40x faster.
-        from rangeclip_tpu.ops.pallas.class_presence import fused_class_presence
+        # labels); the tiled compare-reduce kernel is ~40x faster.  Under
+        # a mesh, field-shaped labels run per-shard with a psum-OR
+        # (parallel/kernel_shard.py).
+        from rangeclip_tpu.parallel.kernel_shard import sharded_class_presence
+        from rangeclip_tpu.utils.platform import kernel_interpret
 
-        present = fused_class_presence(labels, valid, C)
+        present = sharded_class_presence(labels, valid, C,
+                                         interpret=kernel_interpret())
     else:
         present = jnp.zeros((C,), jnp.bool_).at[labels].max(valid > 0)
     present_f = present.astype(jnp.float32)
@@ -367,7 +378,14 @@ def pixel_text_infonce(
 
     if use_tpu_kernels():
         from rangeclip_tpu.ops.pallas.pixel_text_ce import fused_pixel_text_ce
+        from rangeclip_tpu.parallel.kernel_shard import sharded_ce_sum
+        from rangeclip_tpu.utils.platform import kernel_interpret
 
+        # Under a mesh the kernel partitions over the field's
+        # 'data'/'spatial' shards with the tables replicated into every
+        # shard and the CE partial sums psum'd (kernel_shard.py holds the
+        # partitioning story); single-chip dispatch is the direct call.
+        interp = kernel_interpret()
         text_n = l2_normalize(text_embeddings.astype(jnp.float32), axis=-1)
         K = contrast_capacity
         if K is not None:
@@ -384,22 +402,37 @@ def pixel_text_infonce(
             ids, table, packed_mask = pack_contrast_set(contrast_mask,
                                                         text_n, K)
 
-            def _packed(_):
-                return fused_pixel_text_ce(
-                    samples, temperature, labels, valid, table,
-                    packed_mask, 512, False, ids,
-                )
+            def ce_body(samples, labels, valid, temperature, text_n,
+                        contrast_mask, table, packed_mask, ids, n_contrast):
+                def _packed(_):
+                    return fused_pixel_text_ce(
+                        samples, temperature, labels, valid, table,
+                        packed_mask, 512, interp, ids,
+                    )
 
-            def _full(_):
+                def _full(_):
+                    return fused_pixel_text_ce(
+                        samples, temperature, labels, valid, text_n,
+                        contrast_mask, 512, interp,
+                    )
+
+                return jax.lax.cond(n_contrast <= K, _packed, _full, 0)
+
+            ce_sum = sharded_ce_sum(
+                ce_body, samples, labels, valid, temperature, text_n,
+                contrast_mask, table, packed_mask, ids, n_contrast,
+            )
+        else:
+            def ce_body(samples, labels, valid, temperature, text_n,
+                        contrast_mask):
                 return fused_pixel_text_ce(
                     samples, temperature, labels, valid, text_n,
-                    contrast_mask,
+                    contrast_mask, 512, interp,
                 )
 
-            ce_sum = jax.lax.cond(n_contrast <= K, _packed, _full, 0)
-        else:
-            ce_sum = fused_pixel_text_ce(
-                samples, temperature, labels, valid, text_n, contrast_mask
+            ce_sum = sharded_ce_sum(
+                ce_body, samples, labels, valid, temperature, text_n,
+                contrast_mask,
             )
         loss = ce_sum / jnp.maximum(n_valid, 1.0)
         return jnp.where(ok, loss, 0.0)

@@ -38,13 +38,18 @@ def masked_average_pooling(
     emb_flat = pixel_embeddings.reshape(B * H * W, D).astype(jnp.float32)
     seg_flat = segmentation_map.reshape(B * H * W)
 
-    from rangeclip_tpu.utils.platform import use_tpu_kernels
+    from rangeclip_tpu.utils.platform import kernel_interpret, use_tpu_kernels
 
     on_tpu = use_tpu_kernels()
     if use_pallas == "always" or (use_pallas == "auto" and on_tpu):
-        from rangeclip_tpu.ops.pallas.masked_pooling import fused_masked_pooling
+        # per-shard partial (sums, counts) psum'd over the mesh axes the
+        # field is sharded on (parallel/kernel_shard.py); a direct kernel
+        # call everywhere else
+        from rangeclip_tpu.parallel.kernel_shard import sharded_masked_pooling
 
-        sums, counts = fused_masked_pooling(emb_flat, seg_flat, object_indices)
+        sums, counts = sharded_masked_pooling(
+            pixel_embeddings, segmentation_map, object_indices,
+            interpret=kernel_interpret())
         counts = counts[:, None]
     else:
         match = (seg_flat[None, :] == object_indices[:, None]).astype(jnp.float32)

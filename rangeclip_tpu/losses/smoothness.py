@@ -69,9 +69,10 @@ def total_variation_loss(
     masked slope fields instead of two sign fields, so traffic goes UP;
     letting it CSE+materialize sh/sv is the better schedule.
     """
-    from rangeclip_tpu.utils.platform import use_tpu_kernels
-    from rangeclip_tpu.ops.pallas.tv_rowtile import (
-        kernel_applicable, tv_rowtile,
+    from rangeclip_tpu.utils.platform import kernel_interpret, use_tpu_kernels
+    from rangeclip_tpu.ops.pallas.tv_rowtile import kernel_applicable
+    from rangeclip_tpu.parallel.kernel_shard import (
+        local_field_shape, sharded_tv_rowtile,
     )
 
     scale = None
@@ -81,12 +82,19 @@ def total_variation_loss(
         )
 
     if use_tpu_kernels() and kernel_applicable(
-        pixel_embeddings.shape, pixel_embeddings.dtype
+        local_field_shape(pixel_embeddings.shape), pixel_embeddings.dtype
     ):
         # one-pass row-tile kernel (bf16 fields): weights fold in as
-        # per-tile scalars — no x * w materialization, no sign fields
-        loss = tv_rowtile(pixel_embeddings, sample_weight, int(upsample))
-        return loss if scale is None else loss * scale
+        # per-tile scalars — no x * w materialization, no sign fields.
+        # Under a mesh the kernel runs per-'data'-shard with the per-shard
+        # losses psum-averaged; a non-trivial 'spatial' axis returns None
+        # (vertical pairs cross the H-shard boundary) and the XLA
+        # formulation below takes over — GSPMD inserts its halo exchange
+        # automatically (parallel/kernel_shard.py).
+        loss = sharded_tv_rowtile(pixel_embeddings, sample_weight,
+                                  int(upsample), interpret=kernel_interpret())
+        if loss is not None:
+            return loss if scale is None else loss * scale
 
     if sample_weight is not None:
         w = sample_weight.astype(pixel_embeddings.dtype)

@@ -113,10 +113,21 @@ class DepthDecoder(nn.Module):
         if target_shape is None and x.dtype == jnp.bfloat16:
             from rangeclip_tpu.ops.pallas.l2_normalize import (
                 field_kernel_applicable,
-                fused_l2_normalize_field,
             )
-            from rangeclip_tpu.utils.platform import use_tpu_kernels
+            from rangeclip_tpu.parallel.kernel_shard import (
+                local_field_shape,
+                sharded_l2_normalize_field,
+            )
+            from rangeclip_tpu.utils.platform import (
+                kernel_interpret,
+                use_tpu_kernels,
+            )
 
-            if use_tpu_kernels() and field_kernel_applicable(x.shape):
-                return fused_l2_normalize_field(x)
+            # applicability is a PER-SHARD property under a mesh: the
+            # kernel sees the local [B/nd, h/ns, W, D] block, so the
+            # sublane/VMEM gates check the local shape
+            if use_tpu_kernels() and field_kernel_applicable(
+                    local_field_shape(x.shape)):
+                return sharded_l2_normalize_field(
+                    x, interpret=kernel_interpret())
         return l2_normalize(x, axis=-1)

@@ -23,6 +23,12 @@ let XLA insert the collectives.
 Parameters and optimizer state are replicated (the model is a ~15M-param
 CNN — replication is the right layout; its gradients ride the ICI once per
 accumulation window).
+
+The PALLAS KERNELS partition separately: GSPMD has no rule for
+``pallas_call``, so every kernel dispatch site routes through
+``parallel/kernel_shard.py``, which shard_maps the kernel over the axes
+above when an ambient mesh is set (see that module's docstring for the
+per-axis story and the TV 'spatial' fallback).
 """
 
 from __future__ import annotations

@@ -71,28 +71,23 @@ def pad_class_table(
     return table, ids
 
 
-def _local_default_topk(
-    model: DepthUNet,
-    variables,
-    depth: jax.Array,
+def _score_field_topk(
+    field: jax.Array,
     table_slice: jax.Array,
     ids_slice: jax.Array,
     top_k: int,
     interpret: bool,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Default-formulation local scoring (mirrors ``DepthUNet.predict``'s
-    scoring tail, but over a table SLICE whose rows carry global
-    ``ids_slice``): native [B, h, w, D] field, slot matmul, local top-k
-    WITH values (f32 cosine logits — comparable across class shards, the
-    per-pixel norm is shard-invariant).  Returns native-res (idx, val)."""
+    """Score an UN-normalized [B, h, w, D] field against a table SLICE
+    whose rows carry global ``ids_slice``: local top-k WITH values (f32
+    cosine logits — comparable across class shards, the per-pixel norm is
+    shard-invariant).  Returns native-res (idx, val)."""
     text = l2_normalize(table_slice.astype(jnp.float32), axis=-1)
     if use_tpu_kernels() or interpret:
         from rangeclip_tpu.ops.pallas.pixel_text_topk import (
             fused_pixel_text_topk,
         )
 
-        field = model.apply(variables, depth, normalize=False,
-                            method=DepthUNet.native_field)
         B, h, w, _ = field.shape
         field_t = jnp.transpose(field, (1, 2, 0, 3))
         idx, val = fused_pixel_text_topk(
@@ -103,14 +98,30 @@ def _local_default_topk(
         idx = idx.reshape(h, w, B, top_k).transpose(2, 0, 1, 3)
         val = val.reshape(h, w, B, top_k).transpose(2, 0, 1, 3)
         return idx, val
-    field = model.apply(variables, depth, normalize=True,
-                        method=DepthUNet.native_field)
-    logits = jnp.einsum("bhwd,cd->bhwc", field.astype(jnp.float32), text,
+    fieldn = l2_normalize(field.astype(jnp.float32), axis=-1)
+    logits = jnp.einsum("bhwd,cd->bhwc", fieldn, text,
                         preferred_element_type=jnp.float32)
     logits = jnp.where(ids_slice[None, None, None, :] >= 0, logits, NEG_INF)
     val, slot = jax.lax.top_k(logits, top_k)
     idx = jnp.take(ids_slice, slot, axis=0)
     return idx, val
+
+
+def _local_default_topk(
+    model: DepthUNet,
+    variables,
+    depth: jax.Array,
+    table_slice: jax.Array,
+    ids_slice: jax.Array,
+    top_k: int,
+    interpret: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Default-formulation local scoring (mirrors ``DepthUNet.predict``'s
+    scoring tail, but over a table SLICE): run the UNet on the local batch
+    shard, then :func:`_score_field_topk`."""
+    field = model.apply(variables, depth, normalize=False,
+                        method=DepthUNet.native_field)
+    return _score_field_topk(field, table_slice, ids_slice, top_k, interpret)
 
 
 def make_sharded_predict(
@@ -131,11 +142,31 @@ def make_sharded_predict(
     served with model_parallel=1 takes the default path, the same
     crossover the single-device CLIs dispatch on).
 
-    ``depth`` is [B, H, W, 1] with B divisible by the 'data' axis size;
+    A non-trivial 'spatial' mesh axis additionally shards the image
+    height — the serving answer when one device cannot hold the
+    activation footprint (the 512^2 MiT stretch config; SURVEY §5's
+    "spatial sharding of feature maps if resolution grows").  There the
+    UNet forward runs OUTSIDE the shard_map so GSPMD inserts the conv
+    halo exchanges over 'spatial', and only the scoring/top-k/merge runs
+    per-shard; the formulation is always 'default' — at the class counts
+    where spatial sharding matters, folding loses anyway (S >~ 1.5x D,
+    the measured folded-head crossover), and the folded contraction would
+    put a conv inside the shard_map where no halo exists.
+
+    ``depth`` is [B, H, W, 1] with B divisible by the 'data' axis size
+    (and H by 2x the 'spatial' size when that axis is used);
     returns [B, H, W, top_k] global label ids, bit-identical to the
     single-device path of the same formulation.
     """
     n_model = dict(mesh.shape).get("model", 1)
+    n_spatial = dict(mesh.shape).get("spatial", 1)
+    if n_spatial > 1:
+        if predict_path == "folded":
+            raise ValueError(
+                "predict_path='folded' cannot spatially shard (the folded "
+                "conv would need halo exchange inside shard_map); use "
+                "'default' or 'auto'")
+        return _make_spatial_sharded_predict(model, mesh, top_k, interpret)
 
     def local_predict(variables, depth, table_slice, ids_slice):
         fold = predict_path == "folded" or (
@@ -181,10 +212,58 @@ def make_sharded_predict(
     return jax.jit(fn)
 
 
+def _make_spatial_sharded_predict(model: DepthUNet, mesh: Mesh, top_k: int,
+                                  interpret: bool):
+    """data x spatial x model predict: GSPMD-partitioned UNet forward
+    (conv halos over 'spatial' inserted automatically), per-shard scoring
+    + exact cross-'model' top-k merge inside shard_map, nearest upsample
+    of the merged labels back in GSPMD-land."""
+    n_model = dict(mesh.shape).get("model", 1)
+    field_spec = NamedSharding(mesh, P("data", "spatial", None, None))
+
+    def local_score(field, table_slice, ids_slice):
+        idx, val = _score_field_topk(field, table_slice, ids_slice,
+                                     top_k, interpret)
+        if n_model > 1:
+            val = jax.lax.all_gather(val, "model", axis=-1, tiled=True)
+            idx = jax.lax.all_gather(idx, "model", axis=-1, tiled=True)
+            _, idx = jax.lax.sort((-val, idx), dimension=-1, num_keys=2)
+            idx = idx[..., :top_k]
+        return idx
+
+    score = jax.shard_map(
+        local_score,
+        mesh=mesh,
+        in_specs=(P("data", "spatial", None, None), P("model", None),
+                  P("model")),
+        out_specs=P("data", "spatial", None, None),
+        check_vma=False,
+    )
+
+    def predict(variables, depth, table, ids):
+        _, H, W, _ = depth.shape
+        field = model.apply(variables, depth, normalize=False,
+                            method=DepthUNet.native_field)
+        field = jax.lax.with_sharding_constraint(field, field_spec)
+        idx = score(field, table, ids)
+        if idx.shape[1:3] != (H, W):
+            idx = resize_nearest(idx, (H, W))
+        return idx
+
+    def with_mesh(variables, depth, table, ids):
+        with jax.sharding.set_mesh(mesh):
+            return jax.jit(predict)(variables, depth, table, ids)
+
+    return with_mesh
+
+
 def shard_predict_inputs(mesh: Mesh, depth, table, ids):
     """Place predict inputs on the mesh (batch over 'data', table rows
-    over 'model')."""
-    depth = jax.device_put(depth, NamedSharding(mesh, P("data")))
+    over 'model'; image height over 'spatial' when that axis is
+    non-trivial)."""
+    n_spatial = dict(mesh.shape).get("spatial", 1)
+    dspec = P("data", "spatial") if n_spatial > 1 else P("data")
+    depth = jax.device_put(depth, NamedSharding(mesh, dspec))
     table = jax.device_put(table, NamedSharding(mesh, P("model", None)))
     ids = jax.device_put(ids, NamedSharding(mesh, P("model")))
     return depth, table, ids

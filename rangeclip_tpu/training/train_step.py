@@ -321,13 +321,14 @@ def make_train_step(
         return new_state, info
 
     jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
-    if not ddp_parity:
+    if mesh is None:
         return jitted
 
-    # The shard_map binds mesh axes by name through the context mesh; the
-    # step establishes it itself so callers (trainer, tests) need no
-    # set_mesh of their own.  Re-entering an already-set identical mesh is
-    # a no-op.
+    # The shard_map (ddp_parity's, and the kernel-dispatch partitioning in
+    # parallel/kernel_shard.py) binds mesh axes by name through the
+    # context mesh; the step establishes it itself so callers (trainer,
+    # tests) need no set_mesh of their own.  Re-entering an already-set
+    # identical mesh is a no-op.
     def with_mesh(*args, **kwargs):
         with jax.sharding.set_mesh(mesh):
             return jitted(*args, **kwargs)

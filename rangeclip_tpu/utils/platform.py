@@ -25,6 +25,17 @@ def use_tpu_kernels() -> bool:
     return jax.default_backend() not in ("cpu", "gpu")
 
 
+def kernel_interpret() -> bool:
+    """True under ``RANGECLIP_PLATFORM=interpret``: dispatch the PRODUCTION
+    Pallas-kernel code path with ``interpret=True`` so it traces and
+    executes on CPU devices — the sharding-rehearsal mode that runs the
+    kernel path on the 8-virtual-device CPU mesh (tests/test_parallel.py,
+    the multichip dryrun) without TPU hardware.  Same dispatch decisions,
+    same shard_map partitioning (parallel/kernel_shard.py), same kernel
+    tracing; only the Mosaic compile is replaced by the interpreter."""
+    return os.environ.get("RANGECLIP_PLATFORM", "").lower() == "interpret"
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Turn on jax's persistent compilation cache for every entry point.
 

@@ -15,9 +15,12 @@ Subcommands:
   combine-metadata  merge metadata CSVs (setup/nyu_depth_v2/combine_csv_files.py)
   remove-small      prune classes with < N patches (setup/remove_small_classes.py)
   pseudo-gt         cross-class NMS over detection files -> cls x y w h conf
-                    txt (setup/generate_pseudo_ground_truth.py; detections
-                    come from any detector dump — this framework makes no
-                    network calls to fetch YOLO weights)
+                    txt (setup/generate_pseudo_ground_truth.py).  Detections
+                    come from any detector dump (--detections_glob), or run
+                    the reference's own YOLO-World detection stage here with
+                    --images_glob when ultralytics + local weights are
+                    available (this framework makes no network calls to
+                    fetch them)
 """
 
 from __future__ import annotations
@@ -122,9 +125,32 @@ def cmd_remove_small(args) -> None:
 def cmd_pseudo_gt(args) -> None:
     from rangeclip_tpu.setup_tools.pseudo_ground_truth import (
         cross_class_nms,
+        generate_pseudo_ground_truth,
         read_detection_file,
+        ultralytics_detect_fn,
         write_detection_file,
     )
+
+    if bool(args.detections_glob) == bool(args.images_glob):
+        raise SystemExit(
+            "pseudo-gt needs exactly one of --detections_glob (NMS over "
+            "existing detector dumps) or --images_glob (run YOLO-World "
+            "detection here)")
+
+    if args.images_glob:
+        class_names = None
+        if args.classes_json:
+            from rangeclip_tpu.utils.depth_io import load_vild_categories
+
+            class_names = load_vild_categories(args.classes_json)
+        detect_fn = ultralytics_detect_fn(args.yolo_weights, class_names)
+        outs = generate_pseudo_ground_truth(
+            sorted(glob.glob(args.images_glob)), detect_fn,
+            args.output_dir, iou_threshold=args.iou_threshold,
+        )
+        print(f"YOLO-World detection + NMS over {len(outs)} images "
+              f"-> {args.output_dir}")
+        return
 
     os.makedirs(args.output_dir, exist_ok=True)
     n = 0
@@ -202,7 +228,19 @@ def main(argv=None) -> None:
     r.set_defaults(fn=cmd_remove_small)
 
     p = sub.add_parser("pseudo-gt")
-    p.add_argument("--detections_glob", required=True)
+    p.add_argument("--detections_glob", default=None,
+                   help="existing detector dumps to NMS (cls x y w h conf "
+                        "txts); alternative to running detection here")
+    p.add_argument("--images_glob", default=None,
+                   help="run the DETECTION stage itself over these images "
+                        "with ultralytics YOLO-World (reference "
+                        "setup/generate_pseudo_ground_truth.py:83-147); "
+                        "requires ultralytics + local --yolo_weights")
+    p.add_argument("--yolo_weights", default="yolov8x-worldv2.pt",
+                   help="local YOLO-World .pt for --images_glob")
+    p.add_argument("--classes_json", default=None,
+                   help="ViLD-format categories JSON for open-vocabulary "
+                        "detection (model.set_classes; reference :93-95)")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--iou_threshold", type=float, default=0.5)
     p.set_defaults(fn=cmd_pseudo_gt)

@@ -85,3 +85,46 @@ def generate_pseudo_ground_truth(
         write_detection_file(out, detections)
         outputs.append(out)
     return outputs
+
+
+def ultralytics_detect_fn(
+    weights_path: str = "yolov8x-worldv2.pt",
+    class_names: Sequence[str] | None = None,
+    device: str | None = None,
+):
+    """Adapter: ultralytics YOLO-World -> ``detect_fn`` for
+    :func:`generate_pseudo_ground_truth` — the same pattern as
+    ``evals.baselines.hf_segformer_logits_fn`` / ``hf_clipseg_logits_fn``
+    (optional heavyweight import, locally available weights only — this
+    framework makes no network calls).
+
+    Mirrors the reference's detection stage
+    (setup/generate_pseudo_ground_truth.py:83-147): ``yolov8x-worldv2.pt``
+    by default, an optional open-vocabulary class list via
+    ``model.set_classes`` (the reference feeds LVIS names from a ViLD
+    JSON — ``utils.depth_io.load_vild_categories``), normalized xywh +
+    confidence per box.  The reference's custom cross-class NMS is
+    deliberately NOT applied here — :func:`generate_pseudo_ground_truth`
+    applies it downstream, exactly like the reference separates
+    ``model.predict`` from ``cross_class_nms``.
+
+    Returns ``detect_fn(image_path) -> [N, 6] (cls, x, y, w, h, conf)``.
+    """
+    from ultralytics import YOLO  # optional dependency, import on use
+
+    model = YOLO(weights_path)
+    if class_names:
+        model.set_classes(list(class_names))
+
+    def detect_fn(image_path: str) -> np.ndarray:
+        kwargs = {"device": device} if device else {}
+        results = model.predict(source=[image_path], save_txt=False,
+                                verbose=False, save_conf=True, **kwargs)
+        rows = []
+        for box in results[0].boxes:
+            x, y, w, h = (float(v) for v in box.xywhn[0][:4])
+            rows.append([float(int(box.cls)), x, y, w, h,
+                         float(box.conf[0])])
+        return np.asarray(rows, np.float32).reshape(-1, 6)
+
+    return detect_fn

@@ -12,8 +12,12 @@ TPU-native changes:
   * the text table is precomputed once and placed replicated on the mesh
     (the reference's rank-0 NCCL broadcast, train_util.py:230-240);
   * frozen CLIP crop embeddings are computed by a separately-jitted tower
-    right before the step (keeping the train step's compile independent),
-    and skipped entirely when the image loss weight is 0;
+    (keeping the train step's compile independent) ONCE per accumulation
+    window on the whole window's crops, and stay device-resident — the
+    tower dispatch overlaps the step instead of serializing a host fetch
+    per microbatch (the reference's per-batch throughput cliff,
+    train_util.py:305-315); skipped entirely when the image loss weight
+    is 0;
   * multi-process runs execute validation compute and orbax saves on EVERY
     process in lockstep (multihost jit/orbax requirement); only the IO
     side effects (logs, TB writers, summaries) are gated on
@@ -122,8 +126,10 @@ class TrainerConfig:
     encoder_filters: Optional[Sequence[int]] = None
 
 
-def _accumulate_microbatches(microbatches, image_embeddings):
-    """Stack host microbatches into the [A, B, ...] layout the step expects."""
+def _accumulate_microbatches(microbatches):
+    """Stack host microbatches into the [A, B, ...] layout the step expects
+    (image embeddings are handled separately — they are DEVICE arrays from
+    the window tower call, see ``_make_window_tower``)."""
     out = {
         "depth": np.stack([mb["depth"] for mb in microbatches]).astype(np.float32),
         "segmentation": np.stack([mb["segmentation"] for mb in microbatches]).astype(
@@ -135,9 +141,55 @@ def _accumulate_microbatches(microbatches, image_embeddings):
         "sample_valid": np.stack([mb["sample_valid"] for mb in microbatches]).astype(
             np.float32
         ),
-        "image_embeddings": np.stack(image_embeddings).astype(np.float32),
     }
     return out
+
+
+def _make_window_tower(image_provider):
+    """One async device-resident tower call per ACCUMULATION WINDOW.
+
+    The reference runs ``prepare_image_contrast_data`` once per microbatch
+    with a blocking host round trip (train_util.py:305-315 →
+    dataloader.py:205-306 — SURVEY's throughput cliff); round 2 still
+    fetched each microbatch's crop embeddings to host
+    (``np.asarray(image_provider(...))``) and re-uploaded them, stalling
+    async dispatch 8x per optimizer step.  Here the whole window's crops
+    go through ONE jitted crop-extraction call and one tower call, and the
+    [A, B, D] embeddings never leave the device — the tower overlaps the
+    train step's dispatch instead of serializing against it.
+    """
+    crop_fn = jax.jit(prepare_image_crops, static_argnames=("out_size",
+                                                            "normalize"))
+
+    def window_tower(microbatches):
+        images = np.stack([mb["image"] for mb in microbatches])
+        bboxes = np.stack([mb["object_bbox"] for mb in microbatches])
+        A, B = images.shape[:2]
+        crops = crop_fn(
+            jnp.asarray(images.reshape((A * B,) + images.shape[2:])),
+            jnp.asarray(bboxes.reshape(A * B, 4)),
+        )
+        embs = image_provider(crops)
+        return embs.reshape(A, B, embs.shape[-1]).astype(jnp.float32)
+
+    return window_tower
+
+
+def _place_image_embeddings(mesh, embs, nproc):
+    """Shard the window's [A, B, D] embeddings over 'data' without a host
+    round trip (single process: a device-to-device reshard).  Multi-process
+    runs must assemble the global batch from per-process rows, which
+    requires host data (make_array_from_process_local_data) — the one
+    remaining fetch, per window not per microbatch, on the multi-host path
+    only."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(None, "data", None))
+    if nproc == 1:
+        return jax.device_put(embs, sharding)
+    local = np.asarray(embs)
+    gshape = (local.shape[0], local.shape[1] * nproc, local.shape[2])
+    return jax.make_array_from_process_local_data(sharding, local, gshape)
 
 
 def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
@@ -293,6 +345,8 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
     rng = jax.random.key(cfg.seed + 1)
     train_step_count = start_step
     done = False
+    nproc = jax.process_count()
+    window_tower = _make_window_tower(image_provider)
 
     # Optimizer steps per epoch: the loader yields floor(n_shard/batch)
     # microbatches (drop_last) and the step consumes accumulation_steps of
@@ -325,29 +379,33 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
         loss_count = 0
 
         microbatches = []
-        image_embs = []
         for batch in train_loader:
-            if cfg.w_image > 0:
-                crops = prepare_image_crops(
-                    jnp.asarray(batch["image"]),
-                    jnp.asarray(batch["object_bbox"]),
-                )
-                image_embs.append(np.asarray(image_provider(crops)))
-            else:
-                # the step never reads image_embeddings when the image
-                # loss is off (train_step.py use_image_loss gate) — skip
-                # the frozen CLIP forward, the costliest per-batch host op
-                image_embs.append(
-                    np.zeros((len(batch["object_label"]), cfg.embedding_dim),
-                             np.float32)
-                )
             microbatches.append(batch)
             if len(microbatches) < cfg.accumulation_steps:
                 continue
 
-            step_batch = _accumulate_microbatches(microbatches, image_embs)
-            microbatches, image_embs = [], []
+            step_batch = _accumulate_microbatches(microbatches)
+            if cfg.w_image > 0:
+                # ONE async tower call per accumulation window; the
+                # [A, B, D] embeddings stay device-resident and are placed
+                # after the host arrays shard (no per-microbatch host
+                # sync — _make_window_tower)
+                window_embs = window_tower(microbatches)
+            else:
+                # the step never reads image_embeddings when the image
+                # loss is off (train_step.py use_image_loss gate) — skip
+                # the frozen CLIP forward entirely
+                window_embs = None
+                step_batch["image_embeddings"] = np.zeros(
+                    step_batch["object_label"].shape + (cfg.embedding_dim,),
+                    np.float32,
+                )
+            microbatches = []
             step_batch = shard_batch(mesh, step_batch, batch_axis=1)
+            if window_embs is not None:
+                step_batch["image_embeddings"] = _place_image_embeddings(
+                    mesh, window_embs, nproc
+                )
 
             rng, step_rng = jax.random.split(rng)
             if cfg.profile_dir and train_step_count == start_step + 1:

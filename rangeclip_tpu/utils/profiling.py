@@ -114,3 +114,28 @@ def format_rows(
         tail = op[-op_width:] if op else ""
         lines.append(f"{ms:9.3f} ms  {name:28s} {tail}")
     return "\n".join(lines)
+
+
+# Peak dense bf16 FLOP/s by TPU generation (public cloud specs) — the
+# denominator of every %-of-peak claim (bench.py keeps its own copy as a
+# self-contained driver script; keep the figures in sync).
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+    "TPU v7": 4614e12,
+}
+
+
+def chip_peak_flops(device) -> float:
+    """Peak dense bf16 FLOP/s for ``device`` (the most generous plausible
+    figure for unknown kinds, so %-of-peak claims err low)."""
+    kind = getattr(device, "device_kind", "")
+    for name, peak in PEAK_BF16_FLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return max(PEAK_BF16_FLOPS.values())

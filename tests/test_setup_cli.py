@@ -149,3 +149,89 @@ def test_nyu_labeled_mat_layouts(tmp_path):
     data2 = load_nyu_labeled_mat(str(mat2))
     np.testing.assert_array_equal(data2["images"], images)
     np.testing.assert_array_equal(data2["labels"], labels)
+
+
+def test_pseudo_gt_ultralytics_adapter(tmp_path, monkeypatch):
+    """Stub-detector oracle for the YOLO-World adapter (reference
+    setup/generate_pseudo_ground_truth.py:83-147): a fake ultralytics
+    module verifies weights loading, set_classes wiring, xywhn/conf/cls
+    extraction, and that the downstream cross-class NMS suppresses the
+    overlapping lower-confidence box — end to end through the CLI."""
+    import sys
+    import types
+
+    import numpy as np
+    from PIL import Image
+
+    class _Box:
+        def __init__(self, cls, xywhn, conf):
+            self.cls = cls
+            self.xywhn = [xywhn]
+            self.conf = [conf]
+
+    class _Result:
+        def __init__(self, boxes):
+            self.boxes = boxes
+
+    calls = {}
+
+    class _YOLO:
+        def __init__(self, weights):
+            calls["weights"] = weights
+
+        def set_classes(self, names):
+            calls["classes"] = list(names)
+
+        def predict(self, source, **kwargs):
+            calls.setdefault("predicted", []).extend(source)
+            assert kwargs.get("save_txt") is False
+            # two near-identical boxes (IoU 1.0, different class) + one
+            # disjoint box: cross-class NMS must keep the higher-conf of
+            # the pair regardless of class
+            return [_Result([
+                _Box(2.0, [0.5, 0.5, 0.2, 0.2], 0.70),
+                _Box(5.0, [0.5, 0.5, 0.2, 0.2], 0.90),
+                _Box(1.0, [0.1, 0.1, 0.05, 0.05], 0.40),
+            ])]
+
+    fake = types.ModuleType("ultralytics")
+    fake.YOLO = _YOLO
+    monkeypatch.setitem(sys.modules, "ultralytics", fake)
+
+    img = tmp_path / "scene0.png"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img)
+    classes = tmp_path / "cats.json"
+    classes.write_text(
+        '{"categories": [{"name": "chair"}, {"name": "table"}]}')
+
+    setup_cli.main([
+        "pseudo-gt", "--images_glob", str(tmp_path / "*.png"),
+        "--yolo_weights", "local-yolo.pt",
+        "--classes_json", str(classes),
+        "--output_dir", str(tmp_path / "out"),
+    ])
+    assert calls["weights"] == "local-yolo.pt"
+    assert calls["classes"] == ["chair", "table"]
+    assert calls["predicted"] == [str(img)]
+
+    from rangeclip_tpu.setup_tools.pseudo_ground_truth import (
+        read_detection_file,
+    )
+
+    dets = read_detection_file(str(tmp_path / "out/scene0.txt"))
+    # conf-desc order, overlapping cls-2 box suppressed by the cls-5 one
+    assert [int(c) for c in dets[:, 0]] == [5, 1]
+    np.testing.assert_allclose(dets[0, 1:5], [0.5, 0.5, 0.2, 0.2])
+    np.testing.assert_allclose(dets[:, 5], [0.9, 0.4])
+
+
+def test_pseudo_gt_requires_exactly_one_source(fixtures):
+    import pytest
+
+    with pytest.raises(SystemExit, match="exactly one"):
+        setup_cli.main(["pseudo-gt", "--output_dir", "x"])
+    with pytest.raises(SystemExit, match="exactly one"):
+        setup_cli.main([
+            "pseudo-gt", "--detections_glob", "a/*.txt",
+            "--images_glob", "b/*.png", "--output_dir", "x",
+        ])

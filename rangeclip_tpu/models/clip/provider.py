@@ -159,6 +159,22 @@ def get_image_provider(
     dim: int = 512,
     config: CLIPConfig = CLIP_VIT_B32,
 ) -> ImageEmbeddingProvider:
+    """``checkpoint_path="random"`` builds the REAL ViT-B/32 vision tower
+    with randomly initialized weights: full tower cost and code path
+    (trainer window tower, crop pipeline) without an HF checkpoint —
+    random weights cost the same FLOPs as converted ones.  Used by the
+    canonical-scale convergence run and available to any weightless
+    environment that wants tower-true timings rather than the hash stub."""
+    if checkpoint_path == "random":
+        import dataclasses
+
+        if config.projection_dim != dim:
+            config = dataclasses.replace(config, projection_dim=dim)
+        tower = CLIPVisionTower(config)
+        dummy = jnp.zeros((1, config.image_size, config.image_size, 3),
+                          jnp.float32)
+        variables = jax.jit(tower.init)(jax.random.key(0), dummy)
+        return CLIPImageEmbedder(variables["params"], config)
     if checkpoint_path:
         _, vision_params = _converted_checkpoint(checkpoint_path, config)
         return CLIPImageEmbedder(vision_params, config)

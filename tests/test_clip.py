@@ -130,3 +130,25 @@ def test_tokenizer_matches_hf_on_unicode(tmp_path):
     hf = HFTok(vocab_file=vp, merges_file=mp)
     for text in ("café table_ it's 42", "Naïve Über-model no.7"):
         assert ours.encode(text) == hf(text)["input_ids"][1:-1], text
+
+
+def test_random_image_provider_builds_real_tower():
+    """get_image_provider("random") must run the REAL vision tower (full
+    ViT cost/code path, random weights) — not the hash stub — so the
+    convergence run and weightless timing environments are tower-true."""
+    from rangeclip_tpu.models.clip.provider import (
+        CLIPImageEmbedder,
+        get_image_provider,
+    )
+
+    cfg = CLIPConfig(**TINY_KW)
+    provider = get_image_provider("random", config=cfg)
+    assert isinstance(provider, CLIPImageEmbedder)
+    crops = jnp.linspace(-1, 1, 2 * 32 * 32 * 3, dtype=jnp.float32).reshape(
+        2, 32, 32, 3
+    )
+    out = np.asarray(provider(crops))
+    assert out.shape == (2, TINY_KW["projection_dim"])
+    # deterministic across construction (fixed init key)
+    out2 = np.asarray(get_image_provider("random", config=cfg)(crops))
+    np.testing.assert_array_equal(out, out2)

@@ -153,51 +153,80 @@ def cmd_throughput(args) -> None:
                     accum_steps=A,
                 )
 
-                def run_step(s):
-                    bd = batch_data
-                    if tower_step is not None:
-                        bd = dict(batch_data, image_embeddings=tower_step())
-                    return step(s, bd, jax.random.key(5),
-                                jnp.float32(1e-4), jnp.float32(0.25),
-                                jnp.float32(0.5), text, med, med)
-
                 # honest FLOP ledger (VERDICT r2 #3): the compiled step's
-                # cost_analysis, exactly as bench.py reports for predict
-                step_flops = float(step.lower(
+                # cost_analysis, exactly as bench.py reports for predict —
+                # plus HLO bytes accessed, because the train step is
+                # HBM-bound: %-of-bandwidth is the roofline that binds
+                step_cost = step.lower(
                     state, batch_data, jax.random.key(5), jnp.float32(1e-4),
                     jnp.float32(0.25), jnp.float32(0.5), text, med, med,
-                ).compile().cost_analysis().get("flops", 0.0))
-                flops_per_window = step_flops + tower_flops
+                ).compile().cost_analysis()
+                # XLA's cost_analysis counts the accumulation lax.scan BODY
+                # ONCE regardless of trip count (verified: flops identical
+                # at accum 1/4/8) — scale by A.  Overcounts only the
+                # optimizer update (~0.1 GFLOP of a ~230 GFLOP window).
+                step_flops = float(step_cost.get("flops", 0.0)) * A
+                step_bytes = float(step_cost.get("bytes accessed", 0.0)) * A
 
-                # fresh copy per config — the jitted step donates its state
-                # argument, so the original buffers die on first use
-                sstate, _ = run_step(jax.tree.map(jnp.copy, state))
-                jax.block_until_ready(sstate)
-                n = max(args.iters // 4, 2)
-                dt = float("inf")
-                for _ in range(args.rounds):
-                    t0 = time.perf_counter()
-                    for _ in range(n):
-                        sstate, info = run_step(sstate)
+                # with --with_image_tower, time BOTH variants in this one
+                # process: tunnel throughput varies ~10x across processes,
+                # so the tower's marginal cost is only meaningful in-process
+                tower_variants = ([False, True] if tower_step is not None
+                                  else [False])
+                for use_tower in tower_variants:
+                    def run_step(s, _tower=use_tower):
+                        bd = batch_data
+                        if _tower:
+                            bd = dict(batch_data,
+                                      image_embeddings=tower_step())
+                        return step(s, bd, jax.random.key(5),
+                                    jnp.float32(1e-4), jnp.float32(0.25),
+                                    jnp.float32(0.5), text, med, med)
+
+                    flops_per_window = step_flops + (
+                        tower_flops if use_tower else 0.0)
+
+                    # fresh copy per variant — the jitted step donates its
+                    # state argument, so the original buffers die on use
+                    sstate, _ = run_step(jax.tree.map(jnp.copy, state))
                     jax.block_until_ready(sstate)
-                    dt = min(dt, (time.perf_counter() - t0) / n)
+                    n = max(args.iters // 4, 2)
+                    dt = float("inf")
+                    for _ in range(args.rounds):
+                        t0 = time.perf_counter()
+                        for _ in range(n):
+                            sstate, info = run_step(sstate)
+                        jax.block_until_ready(sstate)
+                        dt = min(dt, (time.perf_counter() - t0) / n)
 
-                from rangeclip_tpu.utils.profiling import chip_peak_flops
+                    from rangeclip_tpu.utils.profiling import (
+                        chip_peak_flops,
+                        chip_peak_hbm_bytes,
+                    )
 
-                peak = chip_peak_flops(jax.devices()[0])
-                results.append({
-                    "mode": "train_step",
-                    "precision": "bf16" if bf16 else "fp32",
-                    "pixel_sampler": sampler,
-                    "image_tower": bool(tower_step is not None),
-                    "accum": A, "microbatch": B, "resolution": res,
-                    "s_per_step": round(dt, 4),
-                    "maps_per_sec": round(A * B / dt, 2),
-                    "gflop_per_map": round(flops_per_window / (A * B) / 1e9,
-                                           2),
-                    "tflops": round(flops_per_window / dt / 1e12, 2),
-                    "pct_peak": round(100 * flops_per_window / dt / peak, 1),
-                })
+                    peak = chip_peak_flops(jax.devices()[0])
+                    hbm_peak = chip_peak_hbm_bytes(jax.devices()[0])
+                    results.append({
+                        "mode": "train_step",
+                        "precision": "bf16" if bf16 else "fp32",
+                        "pixel_sampler": sampler,
+                        "image_tower": use_tower,
+                        "accum": A, "microbatch": B, "resolution": res,
+                        "s_per_step": round(dt, 4),
+                        "maps_per_sec": round(A * B / dt, 2),
+                        "gflop_per_map": round(
+                            flops_per_window / (A * B) / 1e9, 2),
+                        "tflops": round(flops_per_window / dt / 1e12, 2),
+                        "pct_peak": round(
+                            100 * flops_per_window / dt / peak, 1),
+                        # analytic HLO operand+output bytes of the compiled
+                        # step — an UPPER bound on HBM traffic (VMEM reuse
+                        # inside the scan body is not modeled, so small
+                        # microbatches overcount; can exceed 100%)
+                        "hlo_gb_per_step": round(step_bytes / 1e9, 2),
+                        "hlo_bytes_vs_hbm_pct": round(
+                            100 * step_bytes / dt / hbm_peak, 1),
+                    })
 
     for r in results:
         print(json.dumps(r))

@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--checkpoint_path", type=str, required=True)
     parser.add_argument("--n_step_per_checkpoint", type=int, default=5000)
     parser.add_argument("--n_step_per_summary", type=int, default=1000)
+    parser.add_argument("--n_step_per_validation", type=int, default=None,
+                        help="Validation cadence; default: every "
+                             "--n_step_per_summary (reference behavior)")
     parser.add_argument("--n_sample_per_summary", type=int, default=4)
     parser.add_argument("--validation_start_step", type=int, default=5000)
     parser.add_argument("--restore_path_model", type=str, default=None)
@@ -160,6 +163,7 @@ def main(argv=None) -> None:
         checkpoint_path=args.checkpoint_path,
         n_step_per_checkpoint=args.n_step_per_checkpoint,
         n_step_per_summary=args.n_step_per_summary,
+        n_step_per_validation=args.n_step_per_validation,
         n_sample_per_summary=args.n_sample_per_summary,
         validation_start_step=args.validation_start_step,
         restore_path_model=args.restore_path_model,

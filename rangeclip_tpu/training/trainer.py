@@ -89,6 +89,11 @@ class TrainerConfig:
     checkpoint_path: str = "checkpoints"
     n_step_per_checkpoint: int = 1000
     n_step_per_summary: int = 500
+    # Validation cadence; None = every n_step_per_summary (the reference's
+    # single-knob behavior, train_util.py:371-390).  A separate knob lets
+    # long runs log dense train scalars without paying a full validation
+    # pass at every summary step.
+    n_step_per_validation: Optional[int] = None
     n_sample_per_summary: int = 32
     validation_start_step: int = 5000
     restore_path_model: Optional[str] = None
@@ -449,9 +454,11 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
                 train_writer.add_scalars("train/curriculum", curriculum,
                                          train_step_count)
 
+            n_step_per_validation = (cfg.n_step_per_validation
+                                     or cfg.n_step_per_summary)
             if (
                 train_step_count >= cfg.validation_start_step
-                and train_step_count % cfg.n_step_per_summary == 0
+                and train_step_count % n_step_per_validation == 0
             ):
                 # EVERY process runs the jitted val compute in lockstep
                 # (multi-host jit needs each process to feed its

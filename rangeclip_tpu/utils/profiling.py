@@ -139,3 +139,29 @@ def chip_peak_flops(device) -> float:
         if kind.startswith(name):
             return peak
     return max(PEAK_BF16_FLOPS.values())
+
+
+# Peak HBM bandwidth (bytes/s) by TPU generation (public cloud specs).
+# Denominator of the bandwidth-roofline column in the train-step ledger:
+# the train step is HBM-bound, so %-of-bandwidth is the honest "how close
+# to the hardware ceiling" number where %-of-FLOP-peak would undersell.
+PEAK_HBM_BYTES = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5": 2765e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,
+    "TPU v6e": 1640e9,
+    "TPU v7": 7400e9,
+}
+
+
+def chip_peak_hbm_bytes(device) -> float:
+    """Peak HBM bytes/s for ``device`` (most generous for unknown kinds,
+    so %-of-bandwidth claims err low)."""
+    kind = getattr(device, "device_kind", "")
+    for name, peak in PEAK_HBM_BYTES.items():
+        if kind.startswith(name):
+            return peak
+    return max(PEAK_HBM_BYTES.values())

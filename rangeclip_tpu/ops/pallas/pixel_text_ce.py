@@ -181,19 +181,30 @@ def _mm_dtype(samples):
     return (jnp.bfloat16 if samples.dtype == jnp.bfloat16 else jnp.float32)
 
 
-def _rows_per_block(H: int, W: int, prefer: int = 2, C: int = 512):
+def _rows_per_block(H: int, W: int, prefer: int = 2, C: int = 512,
+                    ascending: bool = False, max_rows: int | None = None):
     """Rows per 4-D block: the flat row tile rh*W must be a 128-lane
     multiple (Mosaic block constraint) and stay VMEM-friendly.  The forward
     prefers larger tiles (one pass, per-grid-step overhead dominates); the
     backward is VMEM-bound (scores + weighted-onehot + dsamples tiles live
-    together) and OOMs past rh=2 at the canonical config, so the two
-    passes choose independently (RANGECLIP_CE_ROWS_{FWD,BWD} override).
+    together), so the two passes choose independently
+    (RANGECLIP_CE_ROWS_{FWD,BWD} override).
+    When ``prefer`` violates a constraint the fallback scan direction
+    matters: the VMEM-bound backward wants the SMALLEST valid tile
+    (ascending=True), the grid-overhead-bound forward the largest.  At
+    224^2 the native field W=112 makes rh=2 lane-invalid (224 % 128 != 0)
+    — a descending fallback there picked rh=16, whose [1792, C] backward
+    tiles are Mosaic-VMEM-rejected on chip at C=256 (measured 2026-08-20;
+    rh=8 compiles at C in {128, 256, 512}).
     None -> no valid rh, caller falls back to the flat path."""
     # Row cap scales inversely with the class count (large label tables
     # shrink the tile instead of blowing VMEM; 2048 rows at C=512 is a
     # 4 MB score tile).
-    max_rows = max((2048 * 512) // max(C, 512) // 128 * 128, 128)
-    candidates = [prefer] + [r for r in range(min(H, 16), 0, -1)]
+    if max_rows is None:
+        max_rows = max((2048 * 512) // max(C, 512) // 128 * 128, 128)
+    order = range(1, min(H, 16) + 1) if ascending else \
+        range(min(H, 16), 0, -1)
+    candidates = [prefer] + list(order)
     for rh in candidates:
         if rh >= 1 and H % rh == 0 and (rh * W) % 128 == 0 and rh * W <= max_rows:
             return rh
@@ -220,18 +231,22 @@ def _bwd_rows(H: int, W: int, C: int = 512):
     import os
 
     # The backward's VMEM-bound row cap scales inversely with the class
-    # axis: rh=2 is the measured limit at C=512, and the packed-contrast
-    # form (C=K=128) frees 4x the score/onehot tile budget (rh=8; rh=16 is
-    # Mosaic-VMEM-rejected on chip even at C=128 — the dsamples/emb [TN, D]
-    # tiles don't shrink with C; experiments/ce_rows_probe.py).  Only the
-    # C<=128 (rh=8) and C>=512 (rh=2) points are MEASURED on chip, so the
-    # default clamps to those anchors instead of interpolating — an
-    # intermediate C (e.g. 256) could hit a Mosaic scoped-VMEM rejection
-    # at compile time on untested tile sizes.
+    # axis: the packed-contrast form (C=K=128) frees 4x the score/onehot
+    # tile budget vs full-C (rh=8; rh=16 is Mosaic-VMEM-rejected on chip
+    # even at C=128 — the dsamples/emb [TN, D] tiles don't shrink with C;
+    # experiments/ce_rows_probe.py).  Measured-on-chip envelope
+    # (2026-08-20 probes): flat tiles TN=rh*W up to 1024 compile for
+    # C <= 512 (TN=1792 @ C=256 and TN=2048 @ C=128 are REJECTED), and
+    # TN=256 @ C in {1024, 2048} compiles.  The default prefers the
+    # long-measured anchors (rh=8 @ C<=128, rh=2 otherwise) and, when W
+    # makes those lane-invalid (224^2 -> W=112), falls back ASCENDING to
+    # the smallest valid tile within the envelope — or None (flat path)
+    # if nothing fits.
     default = 8 if C <= 128 else 2
+    cap = 1024 if C <= 512 else 256
     return _rows_per_block(
         H, W, int(os.environ.get("RANGECLIP_CE_ROWS_BWD", str(default))),
-        C=C)
+        C=C, ascending=True, max_rows=cap)
 
 
 def _as_slots(labels, valid):

@@ -415,6 +415,17 @@ def test_large_class_count_tiles_shrink_and_match():
     assert _bwd_rows(128, 128, C=512) == 2
     assert _fwd_rows(128, 128, C=128) == 16   # packed contrast
     assert _bwd_rows(128, 128, C=128) == 8    # rh=16 VMEM-rejected on chip
+    # 224^2 native field (W=112): rh=2 is lane-invalid (224 % 128 != 0);
+    # the backward fallback must scan ASCENDING to rh=8 (TN=896, compiles
+    # on chip at C in {128, 256, 512}) — the old descending scan picked
+    # rh=16, whose [1792, 256] tiles are Mosaic-VMEM-rejected (crashed the
+    # canonical-scale convergence run; probed 2026-08-20).
+    assert _bwd_rows(112, 112, C=256) == 8
+    assert _bwd_rows(112, 112, C=512) == 8
+    assert _fwd_rows(112, 112, C=256) == 16
+    # Past the measured envelope (TN=896 > 256 cap at C>512) the picker
+    # must refuse the 4-D path entirely (flat fallback), not guess:
+    assert _bwd_rows(112, 112, C=1024) is None
 
     C, D, N = 4096, 32, 128
     rng = np.random.default_rng(12)

@@ -168,7 +168,11 @@ def get_image_provider(
     if checkpoint_path == "random":
         import dataclasses
 
-        if config.projection_dim != dim:
+        # `dim` adapts the DEFAULT ViT-B/32 config to the requested
+        # embedding dim (the trainer passes dim=cfg.embedding_dim with no
+        # config); an explicitly supplied custom config keeps its own
+        # projection_dim — test/tiny configs must not be silently widened.
+        if config is CLIP_VIT_B32 and config.projection_dim != dim:
             config = dataclasses.replace(config, projection_dim=dim)
         tower = CLIPVisionTower(config)
         dummy = jnp.zeros((1, config.image_size, config.image_size, 3),

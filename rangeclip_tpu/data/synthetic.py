@@ -1,11 +1,39 @@
-"""Synthetic depth-segmentation fixtures for tests and benchmarks.
+"""Synthetic depth-segmentation fixtures for tests, benchmarks, and
+convergence runs.
 
-Generates structured scenes (Voronoi regions of random seed points, one
-label per region, per-label depth planes + noise) so the contrastive loss
-has real signal, plus an optional on-disk writer that produces the exact
-PNG/CSV layout the real SUN RGB-D pipeline consumes (metadata.csv,
-candidate_labels.csv, label_similarity_sets.csv) — giving an end-to-end path
-identical to training on real data.
+Generates structured indoor-like scenes: a dominant floor plane across the
+bottom of the image plus Voronoi regions of random seed points in the upper
+part, one label per region, per-label depth planes + noise.  An optional
+on-disk writer produces the exact PNG/CSV layout the real SUN RGB-D
+pipeline consumes (metadata.csv, candidate_labels.csv,
+label_similarity_sets.csv) — giving an end-to-end path identical to
+training on real data.
+
+Learnability contract (``consistent=True``, the default): the label→depth
+mapping must survive BOTH of the pipeline's normalizations so that a
+depth-only model can generalize across scenes —
+
+  1. **Cross-sample consistency.**  The per-label depth planes and colors
+     are drawn ONCE per dataset (from ``seed``), not per sample.  (The
+     round-3 generator drew them per sample, which made labels independent
+     of depth across the dataset — a depth-only model could not beat
+     chance on held-out scenes, and the round-3 convergence run duly sat
+     at chance.  ``consistent=False`` restores that behavior for
+     comparison.)
+  2. **Median anchoring.**  ``depth_transform`` divides each map by its
+     median (dataloader.py:49-54 semantics).  The floor plane covers
+     ``floor_frac`` > 0.5 of the pixels, so the median is pinned to the
+     floor's plane value and the normalized value of label *l* is the
+     deterministic ratio ``plane[l] / plane[floor]`` in every scene.
+  3. **Noise scaled to class spacing.**  Depth planes are an evenly spaced
+     (then shuffled) grid over [1000, 4000]; per-pixel noise and the
+     horizontal gradient shrink with the grid spacing so adjacent classes
+     stay separable at any ``num_classes`` (including the int32-mm
+     quantization of the on-disk PNG writer).
+
+``tests/test_data.py::test_synthetic_depth_identifies_label`` asserts the
+end product: a nearest-plane classifier on the *normalized* depth recovers
+the segmentation across samples.
 """
 
 from __future__ import annotations
@@ -43,6 +71,8 @@ class SyntheticDepthSegDataset:
         n_regions: int = 6,
         seed: int = 0,
         bbox_padding: int = 10,
+        consistent: bool = True,
+        floor_frac: float = 0.55,
     ):
         self.n_samples = n_samples
         self.resize_shape = resize_shape
@@ -50,7 +80,27 @@ class SyntheticDepthSegDataset:
         self.n_regions = n_regions
         self.seed = seed
         self.bbox_padding = bbox_padding
+        self.consistent = consistent
+        self.floor_frac = floor_frac
         self.labels = ["unavailable"] + [f"object_{i}" for i in range(1, num_classes)]
+
+        if consistent:
+            ds_rng = np.random.default_rng((seed, 0xD5))
+            grid = np.linspace(1000.0, 4000.0, max(num_classes, 2), dtype=np.float32)
+            # Shuffle so label index order carries no depth information;
+            # index 0 ("unavailable") never appears in seg.
+            self.depth_planes = ds_rng.permutation(grid[:num_classes])
+            self.colors = ds_rng.uniform(0, 1, size=(num_classes, 3)).astype(np.float32)
+            self.floor_label = int(ds_rng.integers(1, num_classes))
+            spacing = 3000.0 / max(num_classes - 1, 1)
+            self.noise_sigma = float(min(20.0, 0.12 * spacing))
+            self.grad_amp = float(min(200.0, 0.2 * spacing))
+        else:
+            self.depth_planes = None
+            self.colors = None
+            self.floor_label = None
+            self.noise_sigma = 20.0
+            self.grad_amp = 200.0
 
     def __len__(self) -> int:
         return self.n_samples
@@ -60,16 +110,29 @@ class SyntheticDepthSegDataset:
 
     def _generate(self, idx: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         rng = np.random.default_rng((self.seed, idx))
-        seg = _voronoi_segmentation(rng, self.resize_shape, self.n_regions,
-                                    self.num_classes)
-        # depth: per-label base distance + gradient + noise
-        base = rng.uniform(500, 5000, size=self.num_classes).astype(np.float32)
         H, W = self.resize_shape
-        grad = np.linspace(0, 200, W, dtype=np.float32)[None, :]
-        depth = base[seg] + grad + rng.normal(0, 20, size=(H, W)).astype(np.float32)
+        if self.consistent:
+            n_floor = max(int(round(H * self.floor_frac)), H // 2 + 1)
+            seg_top = _voronoi_segmentation(
+                rng, (H - n_floor, W), self.n_regions, self.num_classes
+            )
+            seg = np.concatenate(
+                [seg_top,
+                 np.full((n_floor, W), self.floor_label, np.int32)], axis=0
+            )
+            base = self.depth_planes
+            colors = self.colors
+        else:
+            seg = _voronoi_segmentation(rng, self.resize_shape, self.n_regions,
+                                        self.num_classes)
+            base = rng.uniform(500, 5000, size=self.num_classes).astype(np.float32)
+            colors = rng.uniform(0, 1, size=(self.num_classes, 3)).astype(np.float32)
+        # depth: per-label plane + gradient + noise
+        grad = np.linspace(0, self.grad_amp, W, dtype=np.float32)[None, :]
+        depth = (base[seg] + grad
+                 + rng.normal(0, self.noise_sigma, size=(H, W)).astype(np.float32))
         depth = np.maximum(depth, 1.0)
         # image: per-label color + noise
-        colors = rng.uniform(0, 1, size=(self.num_classes, 3)).astype(np.float32)
         image = np.clip(
             colors[seg] + rng.normal(0, 0.05, size=(H, W, 3)).astype(np.float32), 0, 1
         )
@@ -99,17 +162,21 @@ def write_synthetic_dataset(
     shape: Tuple[int, int] = (64, 64),
     num_classes: int = 10,
     seed: int = 0,
+    **dataset_kwargs,
 ) -> Dict[str, str]:
     """Write a tiny on-disk dataset in the reference's SUN RGB-D layout:
     PNG triplets + metadata.csv + candidate_labels.csv +
     label_similarity_sets.csv (with 'same'/'medium'/'hard' columns).
 
-    Returns paths {metadata, labels, similarity}.
+    Extra ``dataset_kwargs`` (n_regions, consistent, floor_frac, ...) pass
+    through to SyntheticDepthSegDataset.  Returns paths
+    {metadata, labels, similarity}.
     """
     from PIL import Image
 
     os.makedirs(root, exist_ok=True)
-    ds = SyntheticDepthSegDataset(n_samples, shape, num_classes, seed=seed)
+    ds = SyntheticDepthSegDataset(n_samples, shape, num_classes, seed=seed,
+                                  **dataset_kwargs)
     rows = []
     for i in range(n_samples):
         depth, image, seg = ds._generate(i)
@@ -117,7 +184,8 @@ def write_synthetic_dataset(
             f"image_{i}.png", f"depth_{i}.png", f"label_{i}.png",
         )
         Image.fromarray((image * 255).astype(np.uint8)).save(os.path.join(root, img_path))
-        Image.fromarray(depth.astype(np.int32), mode="I").save(os.path.join(root, dep_path))
+        Image.fromarray(np.rint(depth).astype(np.int32), mode="I").save(
+            os.path.join(root, dep_path))
         Image.fromarray(seg.astype(np.int32), mode="I").save(os.path.join(root, seg_path))
         rows.append((img_path, dep_path, seg_path))
 

@@ -254,3 +254,39 @@ def test_loader_deterministic_across_worker_counts(tmp_path):
         for ba, bb in zip(a, b):
             for k in ba:
                 np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_synthetic_depth_identifies_label(tmp_path):
+    """The consistent generator's label->depth mapping survives median
+    normalization AND the on-disk int-mm PNG roundtrip: a nearest-plane
+    classifier on the NORMALIZED depth recovers the segmentation across
+    samples (the property convergence runs rely on — the dataset-level
+    plane table + floor-anchored median make depth->label decodable on
+    held-out scenes; synthetic.py learnability contract)."""
+    from rangeclip_tpu.data.dataset import ImageDepthTextDataset
+    from rangeclip_tpu.data.synthetic import SyntheticDepthSegDataset
+
+    C = 64
+    ds = SyntheticDepthSegDataset(6, (48, 48), C, seed=3)
+    planes = ds.depth_planes / ds.depth_planes[ds.floor_label]
+
+    def nearest_plane_acc(item):
+        d = item["depth"][..., 0]
+        pred = np.abs(d[..., None] - planes[None, None, 1:]).argmin(-1) + 1
+        return (pred == item["segmentation"]).mean()
+
+    in_mem = np.mean([nearest_plane_acc(ds[i]) for i in range(6)])
+    assert in_mem > 0.98, in_mem
+
+    paths = write_synthetic_dataset(str(tmp_path), n_samples=6,
+                                    shape=(48, 48), num_classes=C, seed=3)
+    disk = ImageDepthTextDataset(paths["metadata"], paths["labels"], (48, 48))
+    on_disk = np.mean([
+        nearest_plane_acc(disk.__getitem__(i, rng=np.random.default_rng(i)))
+        for i in range(6)
+    ])
+    assert on_disk > 0.98, on_disk
+
+    # the floor plane pins the median: > half the pixels are floor
+    frac_floor = np.mean(ds[0]["segmentation"] == ds.floor_label)
+    assert frac_floor > 0.5

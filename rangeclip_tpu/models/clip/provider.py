@@ -156,7 +156,7 @@ def get_text_provider(
 
 def get_image_provider(
     checkpoint_path: Optional[str] = None,
-    dim: int = 512,
+    dim: Optional[int] = None,
     config: CLIPConfig = CLIP_VIT_B32,
 ) -> ImageEmbeddingProvider:
     """``checkpoint_path="random"`` builds the REAL ViT-B/32 vision tower
@@ -172,8 +172,19 @@ def get_image_provider(
         # embedding dim (the trainer passes dim=cfg.embedding_dim with no
         # config); an explicitly supplied custom config keeps its own
         # projection_dim — test/tiny configs must not be silently widened.
-        if config is CLIP_VIT_B32 and config.projection_dim != dim:
+        if config is CLIP_VIT_B32 and dim is not None \
+                and config.projection_dim != dim:
             config = dataclasses.replace(config, projection_dim=dim)
+        elif dim is not None and config.projection_dim != dim:
+            # Conflicting EXPLICIT arguments must fail loudly: the caller
+            # asked for `dim`-wide embeddings but the custom config will
+            # produce config.projection_dim-wide ones (advisor r3).  An
+            # omitted dim (None) defers to the config.
+            raise ValueError(
+                f"get_image_provider(checkpoint_path='random'): dim={dim} "
+                f"conflicts with the supplied config's projection_dim="
+                f"{config.projection_dim}; pass a matching dim (or omit it)"
+            )
         tower = CLIPVisionTower(config)
         dummy = jnp.zeros((1, config.image_size, config.image_size, 3),
                           jnp.float32)
@@ -182,4 +193,4 @@ def get_image_provider(
     if checkpoint_path:
         _, vision_params = _converted_checkpoint(checkpoint_path, config)
         return CLIPImageEmbedder(vision_params, config)
-    return HashImageEmbedder(dim=dim)
+    return HashImageEmbedder(dim=512 if dim is None else dim)

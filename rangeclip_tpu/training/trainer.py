@@ -160,8 +160,12 @@ def _make_window_tower(image_provider):
     (``np.asarray(image_provider(...))``) and re-uploaded them, stalling
     async dispatch 8x per optimizer step.  Here the whole window's crops
     go through ONE jitted crop-extraction call and one tower call, and the
-    [A, B, D] embeddings never leave the device — the tower overlaps the
-    train step's dispatch instead of serializing against it.
+    [A, B, D] embeddings never leave the device, so no HOST latency is
+    added on top of the tower's device time.  The device time itself
+    (+3.7 ms/step at 1x32 — exactly the tower's isolated runtime) cannot
+    hide under the step on a single chip: a TPU core executes one XLA
+    program at a time, and a dispatch-order A/B
+    (experiments/tower_overlap_ab.py) confirms reordering buys nothing.
     """
     crop_fn = jax.jit(prepare_image_crops, static_argnames=("out_size",
                                                             "normalize"))

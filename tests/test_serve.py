@@ -145,11 +145,22 @@ def test_serve_engine_data_parallel(tmp_path):
             clip_merges_path=None,
         )
         predict, variables, labels = serve_mod.build_engine(args)
+        args_single = argparse.Namespace(**{**vars(args),
+                                            "data_parallel": False,
+                                            "model_parallel": 1})
+        predict_1, variables_1, _ = serve_mod.build_engine(args_single)
     finally:
         du_mod.DepthUNetConfig = du_orig
 
     engine = serve_mod.Engine(predict, variables, 4, (32, 32))
     rng = np.random.default_rng(0)
-    topk = engine.submit(rng.standard_normal((32, 32)).astype(np.float32))
+    depth = rng.standard_normal((32, 32)).astype(np.float32)
+    topk = engine.submit(depth)
     assert topk.shape == (32, 32, 3)
     assert (topk >= 0).all() and (topk < len(labels)).all()
+
+    # The sharded predict path must return IDENTICAL labels to the
+    # single-device engine built from the same checkpoint (exact
+    # cross-shard top-k merge; same scoring formulation, fp32).
+    engine_1 = serve_mod.Engine(predict_1, variables_1, 4, (32, 32))
+    np.testing.assert_array_equal(topk, engine_1.submit(depth))

@@ -250,3 +250,120 @@ def test_pixel_text_ce_packed_lowers():
 
     _export_tpu(loss, emb, temp)
     _export_tpu(jax.grad(loss, argnums=(0, 1)), emb, temp)
+
+
+# ---------------------------------------------------------------------------
+# Canonical-config matrix: lower the PRODUCTION dispatch surface at the
+# shapes the CLIs actually emit.  The 224^2 bf16 packed-CE backward was
+# Mosaic-VMEM-rejected ON CHIP mid-round-3 (commit 5d822d8) because the
+# lowering suite only exercised toy shapes; this matrix traces the real
+# microbatch loss-and-grad (every kernel the train step dispatches, with
+# the real trace-time tile choosers) and the real predict paths for the
+# TPU platform at every shipped (resolution, C, dtype) combination, so
+# envelope edges surface off-chip.  RANGECLIP_PLATFORM=tpu forces the
+# kernel dispatch decisions while exporting from a CPU host.
+# ---------------------------------------------------------------------------
+
+# (H, microbatch B): 224^2 is the reference's canonical training config
+# (train_segmentation_model.sh), 256^2 the bench/serving config, 512^2 the
+# stretch config (smaller batch, matching the measured stretch rows).
+_CANONICAL_RES = [(224, 32), (256, 32), (512, 8)]
+_CANONICAL_C = [128, 256, 512, 2048]
+
+
+def _canonical_train_export(H, B, C, dtype, monkeypatch):
+    from rangeclip_tpu.losses.hybrid import HybridLossConfig
+    from rangeclip_tpu.models.depth_unet import DepthUNet, DepthUNetConfig
+    from rangeclip_tpu.training.train_step import make_microbatch_loss
+
+    monkeypatch.setenv("RANGECLIP_PLATFORM", "tpu")
+    D = 512
+    model = DepthUNet(DepthUNetConfig(
+        dtype=jnp.bfloat16 if dtype == "bf16" else None,
+        use_batch_norm=True,
+    ))
+    # contrast_capacity 128 (the CLI default): C == 128 lowers the full-C
+    # branch, C > 128 lowers the packed branch INCLUDING its lax.cond
+    # full-C overflow fallback — both Mosaic programs compile per config.
+    loss_fn = make_microbatch_loss(model, HybridLossConfig(
+        contrast_capacity=128))
+
+    variables = jax.eval_shape(
+        lambda k, d: model.init(k, d, train=True),
+        jax.random.key(0), jax.ShapeDtypeStruct((B, H, H, 1), jnp.float32),
+    )
+    mb = {
+        "depth": jax.ShapeDtypeStruct((B, H, H, 1), jnp.float32),
+        "segmentation": jax.ShapeDtypeStruct((B, H, H), jnp.int32),
+        "object_label": jax.ShapeDtypeStruct((B,), jnp.int32),
+        "image_embeddings": jax.ShapeDtypeStruct((B, D), jnp.float32),
+        "sample_valid": jax.ShapeDtypeStruct((B,), jnp.float32),
+    }
+    args = (
+        variables["params"], variables["batch_stats"], mb,
+        jax.random.key(1), jnp.float32(0.25), jnp.float32(0.5),
+        jax.ShapeDtypeStruct((C, D), jnp.float32),
+        jax.ShapeDtypeStruct((C, C), jnp.bool_),
+        jax.ShapeDtypeStruct((C, C), jnp.bool_),
+    )
+    grad_fn = jax.grad(loss_fn, argnums=0, has_aux=True)
+    jax_export.export(jax.jit(grad_fn), platforms=("tpu",))(
+        *jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args)
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("H,B", _CANONICAL_RES)
+@pytest.mark.parametrize("C", _CANONICAL_C)
+def test_canonical_train_step_lowers_bf16(H, B, C, monkeypatch):
+    _canonical_train_export(H, B, C, "bf16", monkeypatch)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("H,B,C", [(224, 32, 512), (256, 32, 512)])
+def test_canonical_train_step_lowers_fp32(H, B, C, monkeypatch):
+    """fp32 is the bit-parity mode the parity CLIs run on chip."""
+    _canonical_train_export(H, B, C, "fp32", monkeypatch)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("H,B,C,S,top_k", [
+    (256, 128, 512, 384, 5),   # bench.py default (gathered candidates)
+    (224, 8, 512, 384, 1),     # serve default (--top_k 1)
+    (512, 8, 512, 384, 5),     # stretch-config serving
+])
+def test_canonical_predict_lowers(H, B, C, S, top_k, monkeypatch):
+    """The default (unfolded, gathered-candidate Pallas scoring) AND the
+    folded-head predict paths at the CLI/bench shapes."""
+    from rangeclip_tpu.models.depth_unet import (
+        DepthUNet, DepthUNetConfig, predict_folded)
+
+    monkeypatch.setenv("RANGECLIP_PLATFORM", "tpu")
+    D = 512
+    model = DepthUNet(DepthUNetConfig(dtype=jnp.bfloat16,
+                                      use_batch_norm=True))
+    variables = jax.eval_shape(
+        lambda k, d: model.init(k, d, train=False),
+        jax.random.key(0), jax.ShapeDtypeStruct((B, H, H, 1), jnp.float32),
+    )
+    depth = jax.ShapeDtypeStruct((B, H, H, 1), jnp.float32)
+    text = jax.ShapeDtypeStruct((C, D), jnp.float32)
+    idxs = jax.ShapeDtypeStruct((S,), jnp.int32)
+
+    def unfolded(v, d, t, ids):
+        out, _, _ = model.apply(
+            v, d, t, None, top_k, method=DepthUNet.predict,
+            return_embeddings=False, candidate_indices=ids)
+        return out
+
+    def folded(v, d, t, ids):
+        return predict_folded(model, v, d, t, top_k=top_k,
+                              candidate_indices=ids)
+
+    for fn in (unfolded, folded):
+        jax_export.export(jax.jit(fn), platforms=("tpu",))(
+            jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                         variables),
+            depth, text, idxs,
+        )

@@ -83,7 +83,8 @@ def main():
         ax.plot(*train["Loss/train_step"], color=C_BLUE, lw=1.6,
                 label="train total")
     for tag, label in (("Loss/val", "val total"),
-                       ("val/loss", "val total")):
+                       ("val/loss", "val total"),
+                       ("val/avg_loss", "val total")):
         if tag in val:
             ax.plot(*val[tag], color=C_ORANGE, lw=1.6, marker="o",
                     ms=3.5, label=label)

@@ -27,18 +27,33 @@ import time
 import numpy as np
 
 
+# Ordered: first match wins.  The Pallas kernels are identified by their
+# position in the jaxpr name stack (custom_vjp strips the function name):
+# CE lives under the packed-contrast lax.cond ("/cond/branch_*_fun/
+# pallas_call"), the field l2-normalize under the decoder scope, the TV
+# kernel is the remaining bare "closed_call/<jvp>/pallas_call".
 BUCKETS = [
+    ("CE fwd+bwd (Pallas, packed)", r"/cond/branch|branch_\d+_fun"),
+    ("l2-normalize field (Pallas)", r"depth_decoder/pallas_call"),
+    ("TV fwd+bwd (Pallas)",
+     r"closed_call/(?:transpose\(jvp\(\)\)|jvp\(\))/pallas_call"),
+    ("histogram/presence/pool (Pallas)",
+     r"histogram|class_presence|masked_pooling|pooling"),
     ("encoder convs", r"depth_encoder"),
     ("decoder convs+head", r"depth_decoder"),
-    ("CE fwd+bwd (Pallas)", r"pixel_text_ce|ce_fwd|ce_bwd"),
-    ("TV fwd+bwd (Pallas)", r"tv_rowtile|tv_fwd|tv_bwd|smoothness"),
-    ("l2-normalize (Pallas)", r"l2_normalize|l2norm"),
-    ("pixel draw + histogram", r"histogram|random_bits|threefry|sample"),
-    ("pooling/presence", r"masked_pooling|class_presence|pooling|presence"),
-    ("image-contrast", r"area_image|image_contrast"),
+    ("pixel draw / RNG", r"random_bits|threefry|iota|sample"),
+    ("image-contrast", r"area_image|image_contrast|bhw,bhwd"),
+    ("grad-accum adds (XLA add_any)", r"add_any"),
     ("optimizer/adam", r"adam|optax|update_fn|apply_updates"),
-    ("batch-norm", r"batch_stats|BatchNorm|bn_"),
 ]
+
+# Async DMA lifetime markers: each start/done pair re-references buffers
+# the owning compute rows already count, and their device time is hidden
+# under compute (that's the point of the overlap engine) — a roofline
+# attainment is meaningless for them.  Excluded from the table; reported
+# as one summary line instead.
+ASYNC_RE = __import__("re").compile(
+    r"^[\w\-]+-(start|done)[.\d]*$")
 
 
 def main() -> None:
@@ -123,6 +138,10 @@ def main() -> None:
         jax.block_until_ready(sstate)
 
     rows_t = summarize_trace(trace_dir, steps=args.steps, hlo_text=hlo)
+    # A lax.cond's trace event covers its executed branch, which ALSO
+    # appears as its own event — keep the branch (it carries the kernel
+    # identity), drop the wrapper so totals don't double-count.
+    rows_t = [r for r in rows_t if not r[0].startswith("conditional")]
     dev = jax.devices()[0]
     peak_fl, peak_by = chip_peak_flops(dev), chip_peak_hbm_bytes(dev)
 
@@ -134,16 +153,42 @@ def main() -> None:
     S = 4  # label slots at 2x upsample
     n_draws = int(0.7 * res * res) * B
     kernel_flops = {
-        # fwd: logits matmul (N x D x K); S label-slot compares are VPU
-        "ce_fwd": 2.0 * N * D * K,
-        # bwd: score recompute + dsamples + dtable matmuls
-        "ce_bwd": 6.0 * N * D * K,
         # histogram: one-hot matmul over the draw tiles
         "histogram": 2.0 * n_draws * (S * 128),
     }
 
     instrs = parse_hlo_instructions(hlo)
     rows = roofline_rows(rows_t, instrs, peak_fl, peak_by, kernel_flops)
+
+    # The CE kernel pair lives under the packed-contrast lax.cond; several
+    # OTHER kernels also dispatch under conds, so assign the analytic CE
+    # FLOPs to exactly ONE fwd and ONE bwd row: the most expensive branch
+    # row of each jvp direction (the CE field traffic dwarfs the rest).
+    def _assign_ce(pattern, flops):
+        cand = [r for r in rows
+                if pattern in r["op"] and "/cond/branch" in r["op"]]
+        if not cand:
+            return
+        r = max(cand, key=lambda r: r["ms"])
+        t = r["ms"] / 1e3
+        r["gflop"] = flops / 1e9
+        r["tflops"] = flops / t / 1e12
+        t_fl, t_by = flops / peak_fl, r["gb"] * 1e9 / peak_by
+        r["bound"] = "flop" if t_fl >= t_by else "byte"
+        r["attainment"] = max(t_fl, t_by) / t
+
+    _assign_ce("transpose(jvp())/cond", 6.0 * N * D * K)   # bwd
+    _assign_ce("closed_call/jvp()/cond", 2.0 * N * D * K)  # fwd
+
+    def _is_async(r):
+        # -start/-done lifetime markers, plus the runtime's bare async
+        # copy custom-calls: zero recorded duration, no op_name.
+        return bool(ASYNC_RE.match(r["instr"])) or (
+            r["instr"].startswith("custom-call") and not r["op"]
+            and r["ms"] < 1e-3)
+
+    async_rows = [r for r in rows if _is_async(r)]
+    rows = [r for r in rows if not _is_async(r)]
     total_ms = sum(r["ms"] for r in rows)
 
     if args.dump:
@@ -153,12 +198,32 @@ def main() -> None:
             print(f"{r['ms']:8.3f}  {r['gb']:7.3f}  {r['gflop']:8.1f}  "
                   f"{r['bound']:4s}  {100 * r['attainment']:5.0f}%  "
                   f"{r['instr'][:24]:24s}  {r['op'][-70:]}")
+        print("\n## top 8 by analytic bytes (sanity: wrappers/copies that "
+              "reference whole state inflate this)")
+        for r in sorted(rows, key=lambda r: -r["gb"])[:8]:
+            print(f"{r['ms']:8.3f}  {r['gb']:7.3f}  "
+                  f"{r['instr'][:28]:28s}  {r['op'][-60:]}")
+        import re as _re
+        others = [r for r in rows if not any(
+            _re.search(p, r["op"]) or _re.search(p, r["instr"])
+            for _, p in BUCKETS)]
+        print("\n## top 12 'other' rows by bytes (candidates for bucket "
+              "fixes / wrapper exclusion)")
+        for r in sorted(others, key=lambda r: -r["gb"])[:12]:
+            print(f"{r['ms']:8.3f}  {r['gb']:7.3f}  "
+                  f"{r['instr'][:28]:28s}  {r['op'][-60:]}")
 
     buckets = bucket_rows(rows, BUCKETS)
     print(f"\n## per-interval roofline ({'bf16' if bf16 else 'fp32'} "
           f"{A}x{B} @ {res}^2, C={C}; device total "
           f"{total_ms:.1f} ms/step, wall {wall_ms:.1f} ms)")
     print(format_interval_table(buckets, total_ms))
+    a_ms = sum(r["ms"] for r in async_rows)
+    a_gb = sum(r["gb"] for r in async_rows)
+    print(f"\nasync DMA markers excluded: {len(async_rows)} rows, "
+          f"{a_ms:.2f} ms visible, {a_gb:.1f} GB analytic (overlapped "
+          "prefetch re-referencing buffers the compute rows already "
+          "count; no roofline applies)")
     print(
         "\nfooter: bytes are analytic minimum operand+result traffic "
         "(fusion re-reads/spills not modeled); Pallas custom-call FLOPs "

@@ -6,25 +6,31 @@ and one byte count for the whole program — honest, but it cannot say WHICH
 part of a 60 ms step is near ITS own bound.  This module closes that gap:
 
   * :func:`parse_hlo_instructions` statically parses the compiled HLO text
-    into per-instruction records: result/operand buffer bytes (the
+    into per-instruction records: result+operand buffer bytes (the
     analytic minimum HBM traffic of that instruction: every operand read
     once + result written once) and MXU FLOPs (convolution / dot
     sub-instructions inside each fusion's called computation; elementwise
-    VPU flops are ignored — they never bind on TPU at these shapes).
+    VPU flops are ignored — they never bind on the MXU/HBM rooflines).
+    Compiled TPU HLO prints operands as bare ``%name`` references, so the
+    parse is two-pass: first map every instruction name to its RESULT
+    buffer bytes/shape, then resolve each line's operand list against
+    that map.
   * :func:`roofline_rows` joins those records with
     ``profiling.summarize_trace`` durations and computes, per instruction:
     achieved GB/s, achieved TFLOP/s, and the binding-roofline attainment
     ``max(t_flop, t_byte) / t_actual`` where ``t_flop = flops/peak_flops``
     and ``t_byte = bytes/peak_bw``.
   * :func:`bucket_rows` groups instructions into model-level intervals
-    (encoder, decoder, CE kernel, TV kernel, ... ) via op_name/instruction
+    (encoder, decoder, CE kernel, TV kernel, ...) via op_name/instruction
     patterns, so the README table has ~8 rows instead of ~300.
 
 Caveats (kept in the printed table footer): bytes are the analytic
 minimum (fusions that re-read an operand, or spill, move more — attainment
 can exceed 100% on nothing-to-move fusions and underestimate true
 efficiency elsewhere); Pallas custom-call FLOPs are supplied by the caller
-per kernel (the HLO text does not describe the kernel body).
+per kernel (the HLO text does not describe the kernel body); VPU-bound
+kernels (softmax rows, selection networks) legitimately show low MXU/HBM
+attainment — their bound is neither roofline.
 """
 
 from __future__ import annotations
@@ -40,39 +46,71 @@ _DTYPE_BYTES = {
 }
 
 _SHAPE_RE = re.compile(r"\b(" + "|".join(_DTYPE_BYTES) + r")\[([\d,]*)\]")
+_INSTR_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+) = ")
+_CALLS_RE = re.compile(r"calls=%?([\w.\-]+)")
+_REF_RE = re.compile(r"%([\w.\-]+)")
 
 
-def _shape_bytes(dtype: str, dims: str) -> int:
-    n = 1
-    for d in dims.split(","):
-        if d:
-            n *= int(d)
-    return n * _DTYPE_BYTES[dtype]
+def _dims(dimstr: str) -> List[int]:
+    return [int(d) for d in dimstr.split(",") if d]
 
 
-def _line_bytes(line: str) -> int:
-    """Sum the buffer sizes of every shape mentioned on an instruction
-    line: the result (or result tuple) + each typed operand reference.
-    This is the instruction's analytic minimum HBM traffic."""
-    return sum(_shape_bytes(d, s) for d, s in _SHAPE_RE.findall(line))
+def _split_line(line: str) -> Tuple[str, str]:
+    """(result segment, operand segment) of an instruction line.
+
+    The result type(s) sit between ``= `` and the opcode call; operands
+    are inside the call parens.  Works for both HLO prints: jax.export
+    style (operands carry inline types) and compiled-TPU style (operands
+    are bare %refs with layout-annotated result types)."""
+    _, _, rhs = line.partition(" = ")
+    rhs = re.sub(r"calls=%[\w.\-]+", "", rhs)
+    rhs = rhs.split("metadata=")[0]
+    m = re.search(r"[\w\-]+\(", rhs)
+    if not m:
+        return rhs, ""
+    return rhs[: m.start()], rhs[m.end() - 1:]
 
 
-def _conv_flops(line: str) -> Optional[int]:
-    """2 * out_elems * Cin_per_group * prod(window) for a convolution
-    instruction line (dim_labels tells which operand dim is the input
-    feature)."""
-    shapes = _SHAPE_RE.findall(line)
-    if not shapes:
-        return None
+def _shapes_bytes(segment: str) -> int:
+    return sum(
+        math.prod(_dims(s)) * _DTYPE_BYTES[d]
+        for d, s in _SHAPE_RE.findall(segment)
+    )
+
+
+def _result_bytes(line: str) -> int:
+    """Buffer bytes of the instruction's RESULT (tuple results sum
+    members)."""
+    res_seg, _ = _split_line(line)
+    return _shapes_bytes(res_seg)
+
+
+def _operands(line: str) -> List[str]:
+    """Operand instruction names referenced by a line (in order)."""
+    _, op_seg = _split_line(line)
+    return _REF_RE.findall(op_seg)
+
+
+def _operand_bytes(line: str, res_bytes: Dict[str, int]) -> int:
+    """Bytes read by the operands: inline types when printed (jax.export
+    HLO), else resolved against the definition map (compiled TPU HLO)."""
+    _, op_seg = _split_line(line)
+    inline = _shapes_bytes(op_seg)
+    if inline:
+        return inline
+    return sum(res_bytes.get(op, 0) for op in _REF_RE.findall(op_seg))
+
+
+def _conv_flops(line: str, out_dims: List[int],
+                rhs_shape: Optional[List[int]]) -> Optional[int]:
+    """2 * out_elems * Cin_per_group * prod(window)."""
     m = re.search(r"dim_labels=([\w?]+)_([\w?]+)->([\w?]+)", line)
     win = re.search(r"window={[^}]*size=([\dx]+)", line)
-    if not m or not win or len(shapes) < 3:
+    if not m or not win or not out_dims or not rhs_shape:
         return None
-    out_dims = [int(d) for d in shapes[0][1].split(",") if d]
     rhs_labels = m.group(2)
-    rhs_dims = [int(d) for d in shapes[2][1].split(",") if d]
     try:
-        cin = rhs_dims[rhs_labels.index("i")]
+        cin = rhs_shape[rhs_labels.index("i")]
     except (ValueError, IndexError):
         return None
     groups = 1
@@ -83,70 +121,84 @@ def _conv_flops(line: str) -> Optional[int]:
     return 2 * math.prod(out_dims) * cin * window // max(groups, 1)
 
 
-def _dot_flops(line: str) -> Optional[int]:
-    """2 * out_elems * prod(lhs contracting dims) for a dot line."""
-    shapes = _SHAPE_RE.findall(line)
+def _dot_flops(line: str, out_dims: List[int],
+               lhs_shape: Optional[List[int]]) -> Optional[int]:
+    """2 * out_elems * prod(lhs contracting dims)."""
     m = re.search(r"lhs_contracting_dims={([\d,]*)}", line)
-    if not m or len(shapes) < 2:
+    if not m or not out_dims or not lhs_shape:
         return None
-    out_dims = [int(d) for d in shapes[0][1].split(",") if d]
-    lhs_dims = [int(d) for d in shapes[1][1].split(",") if d]
     k = 1
     for i in m.group(1).split(","):
         if i:
-            k *= lhs_dims[int(i)]
+            k *= lhs_shape[int(i)]
     return 2 * math.prod(out_dims) * k
-
-
-_INSTR_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+) = ")
-_CALLS_RE = re.compile(r"calls=%?([\w.\-]+)")
-_COMP_RE = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s+\([^)]*\)\s*->")
 
 
 def parse_hlo_instructions(hlo_text: str) -> Dict[str, Dict[str, float]]:
     """Parse compiled-HLO text into {instr_name: {bytes, flops, op}}.
 
-    ``bytes`` is the analytic operand+result traffic of the (top-level)
-    instruction; ``flops`` sums convolution/dot FLOPs found on the line
-    itself or inside the fusion's called computation.
+    ``bytes`` = result + resolved operand buffers; ``flops`` sums
+    convolution/dot FLOPs on the line itself or inside the fusion's
+    called computation.
     """
-    # computation name -> summed dot/conv flops of its instruction lines
-    comp_flops: Dict[str, int] = {}
-    comp_of_line: List[Tuple[str, str]] = []  # (computation, line)
-    current = ""
-    for line in hlo_text.splitlines():
-        cm = _COMP_RE.match(line)
-        if cm and ("{" in line or line.rstrip().endswith("->")):
-            current = cm.group(1)
-            continue
-        if " = " in line:
-            comp_of_line.append((current, line))
-            if "convolution(" in line or " dot(" in line:
-                fl = (_conv_flops(line) if "convolution(" in line
-                      else _dot_flops(line))
-                if fl:
-                    comp_flops[current] = comp_flops.get(current, 0) + fl
+    lines = [ln for ln in hlo_text.splitlines() if " = " in ln]
 
-    out: Dict[str, Dict[str, float]] = {}
-    for comp, line in comp_of_line:
-        im = _INSTR_RE.match(line)
+    # pass 1: name -> (result bytes, first result shape dims)
+    res_bytes: Dict[str, int] = {}
+    res_shape: Dict[str, List[int]] = {}
+    parsed: List[Tuple[str, str]] = []
+    for ln in lines:
+        im = _INSTR_RE.match(ln)
         if not im:
             continue
         name = im.group(1)
-        flops = 0
-        if "convolution(" in line or " dot(" in line:
-            flops = (_conv_flops(line) if "convolution(" in line
-                     else _dot_flops(line)) or 0
-        elif " fusion(" in line:
-            cm2 = _CALLS_RE.search(line)
+        parsed.append((name, ln))
+        res_bytes[name] = _result_bytes(ln)
+        shp = _SHAPE_RE.search(ln)
+        res_shape[name] = _dims(shp.group(2)) if shp else []
+
+    # pass 2: per-line flops; accumulate per-computation flops for fusions
+    comp_flops: Dict[str, int] = {}
+    current = ""
+    comp_re = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s+\([^)]*\)\s*->")
+    line_flops: Dict[str, int] = {}
+    for ln in hlo_text.splitlines():
+        cm = comp_re.match(ln)
+        if cm:
+            current = cm.group(1)
+            continue
+        if " = " not in ln:
+            continue
+        im = _INSTR_RE.match(ln)
+        if not im:
+            continue
+        name = im.group(1)
+        fl = None
+        if "convolution(" in ln:
+            ops = _operands(ln)
+            rhs = res_shape.get(ops[1]) if len(ops) > 1 else None
+            fl = _conv_flops(ln, res_shape.get(name, []), rhs)
+        elif " dot(" in ln:
+            ops = _operands(ln)
+            lhs = res_shape.get(ops[0]) if ops else None
+            fl = _dot_flops(ln, res_shape.get(name, []), lhs)
+        if fl:
+            line_flops[name] = fl
+            comp_flops[current] = comp_flops.get(current, 0) + fl
+
+    out: Dict[str, Dict[str, float]] = {}
+    for name, ln in parsed:
+        byt = res_bytes.get(name, 0) + _operand_bytes(ln, res_bytes)
+        fl = line_flops.get(name, 0)
+        if " fusion(" in ln:
+            cm2 = _CALLS_RE.search(ln)
             if cm2:
-                flops = comp_flops.get(cm2.group(1), 0)
+                fl = comp_flops.get(cm2.group(1), 0)
         op = ""
-        om = re.search(r"op_name=\"([^\"]+)\"", line)
+        om = re.search(r"op_name=\"([^\"]+)\"", ln)
         if om:
             op = om.group(1)
-        out[name] = {"bytes": float(_line_bytes(line)),
-                     "flops": float(flops), "op": op}
+        out[name] = {"bytes": float(byt), "flops": float(fl), "op": op}
     return out
 
 
@@ -160,7 +212,8 @@ def roofline_rows(
     """Join trace durations with per-instruction bytes/flops.
 
     kernel_flops: {substring-of-instr-or-op-name: flops} — analytic FLOP
-    counts for Pallas custom-calls (HLO text cannot describe them).
+    counts for Pallas custom-calls (HLO text cannot describe them); first
+    match wins, insertion order preserved.
     """
     rows = []
     for name, ms, op in trace_rows:

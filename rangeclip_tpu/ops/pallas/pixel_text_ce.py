@@ -5,7 +5,9 @@ CE over ``normalize(samples) @ normalize(text).T / temperature`` with the
 contrast set masked to -inf.  Under XLA the [N, C] logits (N ~ 0.7*B*H*W)
 materialize in HBM three times (logits, logsumexp pass, gather pass) —
 ~6.5 ms forward at the canonical 256^2 config.  These kernels keep each
-[TILE_N, C] logit tile in VMEM for both passes:
+logit tile in VMEM for both passes, CLASS-MAJOR ([C, TILE_N] — classes on
+sublanes, sample rows on lanes; see _tile_logits for the measured 2.6x /
+2.2x layout rationale):
 
   forward: normalize (VPU) -> logits (MXU) -> mask -> logsumexp + one-hot
            pick (VPU) -> per-sample weighted CE row (summed by the caller).
@@ -29,10 +31,10 @@ id row instead of the column iota, so labels stay GLOBAL — no [S, N]
 label remap, which a small-table XLA gather would make pathological on
 TPU (measured 86 ms for a 10.5M-index remap; see score_topk's identical
 in-kernel remap for predict).  Softmax membership is unchanged (padded
-columns get -inf logits), so values match the full-C form up to f32
-reduction order over K vs C lanes.  losses/infonce.py builds the packing
-and falls back to the full-C kernel via lax.cond when the live contrast
-set overflows K.
+rows get -inf logits), so values match the full-C form up to f32
+reduction order over K vs C sublanes.  losses/infonce.py builds the
+packing and falls back to the full-C kernel via lax.cond when the live
+contrast set overflows K.
 """
 
 from __future__ import annotations
@@ -49,6 +51,16 @@ NEG_INF = -1e30
 
 
 def _tile_logits(samples_ref, text_ref, mask_ref, inv_temp):
+    """Scores computed CLASS-MAJOR: [C, TN], classes on sublanes, sample
+    rows on lanes.  The row-major [TN, C] form forced a lane->sublane
+    relayout of the [TN] label vector per slot per tile (the same Mosaic
+    gotcha score_topk.py documents for selection: lane-minor = 65 ms vs
+    9.9 ms) and a final sublane->lane relayout of every per-row output —
+    measured 2.6x fwd / 2.2x bwd slower than this layout at the canonical
+    packed config (experiments/ce_ablate_probe.py, identical checksums).
+    Class-major makes the label compare a free lane-aligned broadcast,
+    every softmax/pick reduction a sublane reduction, and the [1, TN]
+    output rows land in their natural layout."""
     s = samples_ref[:]
     # 4-D row blocks [1, 1, W, D] arrive from the no-relayout path; the
     # squeeze to [W, D] only drops leading 1s (lane/sublane dims untouched).
@@ -61,21 +73,24 @@ def _tile_logits(samples_ref, text_ref, mask_ref, inv_temp):
     # bf16 x bf16 -> f32 (an f32 matmul costs multiple MXU passes); in the
     # f32 parity mode the astype is a no-op and numerics are unchanged.
     sim = jax.lax.dot_general(
-        emb.astype(text_ref.dtype), text_ref[:],
+        text_ref[:], emb.astype(text_ref.dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [TN, C]
-    logits = jnp.where(mask_ref[:][None, :] != 0, sim * inv_temp, NEG_INF)
+    )  # [C, TN]
+    logits = jnp.where(mask_ref[:][:, None] != 0, sim * inv_temp, NEG_INF)
     return emb, rs, logits
 
 
-def _col_ids(ids_ref, TN, C):
-    """Per-column target ids: the class-axis iota for full-table scoring,
-    or the broadcast global-id row for the packed-contrast form (labels
-    stay global; padded slots carry a sentinel >= C no label can match)."""
+def _row_ids(ids_ref, C):
+    """Per-SUBLANE target ids [C, 1]: the class-axis iota for full-table
+    scoring, or the global-id column for the packed-contrast form (labels
+    stay global; padded slots carry a sentinel >= C no label can match).
+    Lane-replicated [C, 1] ids are the Mosaic-friendly orientation
+    (sublane-replicated [1, C] broke layout inference in where();
+    score_topk.py lesson)."""
     if ids_ref is None:
-        return jax.lax.broadcasted_iota(jnp.int32, (TN, C), dimension=1)
-    return jnp.broadcast_to(ids_ref[:], (TN, C))
+        return jax.lax.broadcasted_iota(jnp.int32, (C, 1), dimension=0)
+    return ids_ref[:]
 
 
 def _fwd_kernel(inv_temp_ref, samples_ref, labels_ref, valid_ref, text_ref,
@@ -83,26 +98,27 @@ def _fwd_kernel(inv_temp_ref, samples_ref, labels_ref, valid_ref, text_ref,
     ids_ref, ce_ref = refs if len(refs) == 2 else (None, refs[0])
     _, _, logits = _tile_logits(samples_ref, text_ref, mask_ref,
                                 inv_temp_ref[0])
-    m = jnp.max(logits, axis=1, keepdims=True)
-    lse = m[:, 0] + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1))
+    m = jnp.max(logits, axis=0, keepdims=True)  # [1, TN]
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=0, keepdims=True))
 
-    TN, C = logits.shape
-    cols = _col_ids(ids_ref, TN, C)
+    C, TN = logits.shape
+    ids_col = _row_ids(ids_ref, C)  # [C, 1]
     # Label SLOTS: each sample row carries S (label, weight) pairs and its
     # CE contribution is sum_s w_s (lse - picked_s) — the native-resolution
     # training identity, where one decoder pixel serves the labels of its
     # upsample children.  S == 1 is the classic one-label-per-pixel case.
     S = labels_ref.shape[0]
-    wsum = jnp.zeros((TN,), jnp.float32)
-    wpick = jnp.zeros((TN,), jnp.float32)
+    wsum = jnp.zeros((1, TN), jnp.float32)
+    wpick = jnp.zeros((1, TN), jnp.float32)
     for s in range(S):
-        onehot = cols == labels_ref[s, :][:, None]
-        picked = jnp.sum(jnp.where(onehot, logits, 0.0), axis=1)
-        w = valid_ref[s, :]
+        onehot = ids_col == labels_ref[s, :][None, :]  # [C, TN]
+        picked = jnp.sum(jnp.where(onehot, logits, 0.0), axis=0,
+                         keepdims=True)
+        w = valid_ref[s, :][None, :]
         wsum = wsum + w
         wpick = wpick + w * picked
 
-    ce_ref[0, :] = wsum * lse - wpick
+    ce_ref[:] = wsum * lse - wpick
 
 
 def _bwd_kernel(inv_temp_ref, coeff_ref, samples_ref, labels_ref, valid_ref,
@@ -112,47 +128,50 @@ def _bwd_kernel(inv_temp_ref, coeff_ref, samples_ref, labels_ref, valid_ref,
     )
     emb, rs, logits = _tile_logits(samples_ref, text_ref, mask_ref,
                                    inv_temp_ref[0])
-    m = jnp.max(logits, axis=1, keepdims=True)
+    m = jnp.max(logits, axis=0, keepdims=True)  # [1, TN]
     e = jnp.exp(logits - m)
-    inv_z = 1.0 / jnp.sum(e, axis=1)  # [TN]
+    inv_z = 1.0 / jnp.sum(e, axis=0, keepdims=True)  # [1, TN]
 
-    TN, C = logits.shape
-    cols = _col_ids(ids_ref, TN, C)
+    C, TN = logits.shape
+    ids_col = _row_ids(ids_ref, C)  # [C, 1]
 
     # Multi-slot generalization (see _fwd_kernel): with per-row weight sum
     # W = sum_s w_s,  d logits = p * W - sum_s w_s * onehot_s,  and
     # d logtau = sum_s w_s * picked_s - W * E_p[logits].  The softmax p is
     # never materialized (p*W == e * (W/Z)) and the slot one-hots correct
-    # ``delta`` in place — two fewer [TN, C] f32 tiles live than the naive
+    # ``delta`` in place — two fewer [C, TN] f32 tiles live than the naive
     # form, which is what bounds the backward's row tile in VMEM.
     S = labels_ref.shape[0]
-    # wsum needs no [TN, C] work — accumulate it first so delta can start
+    # wsum needs no [C, TN] work — accumulate it first so delta can start
     # from e * (W/Z) and ONE slot loop computes each onehot once (the
-    # two-loop form recomputed every [TN, C] compare; merging drops S full
+    # two-loop form recomputed every [C, TN] compare; merging drops S full
     # VPU passes over the score tile).
-    wsum = jnp.zeros((TN,), jnp.float32)
+    wsum = jnp.zeros((1, TN), jnp.float32)
     for s in range(S):
-        wsum = wsum + coeff_ref[0] * valid_ref[s, :]
+        wsum = wsum + coeff_ref[0] * valid_ref[s, :][None, :]
 
-    delta = e * (wsum * inv_z)[:, None]
-    wpick = jnp.zeros((TN,), jnp.float32)
+    delta = e * (wsum * inv_z)
+    wpick = jnp.zeros((1, TN), jnp.float32)
     for s in range(S):
-        onehot = cols == labels_ref[s, :][:, None]
-        w = coeff_ref[0] * valid_ref[s, :]  # [TN]
-        wpick = wpick + w * jnp.sum(jnp.where(onehot, logits, 0.0), axis=1)
-        delta = delta - jnp.where(onehot, w[:, None], 0.0)
+        onehot = ids_col == labels_ref[s, :][None, :]  # [C, TN]
+        w = coeff_ref[0] * valid_ref[s, :][None, :]  # [1, TN]
+        wpick = wpick + w * jnp.sum(jnp.where(onehot, logits, 0.0), axis=0,
+                                    keepdims=True)
+        delta = delta - jnp.where(onehot, w, 0.0)
 
     # No mask select needed: masked columns have logits == NEG_INF (finite,
     # -1e30), so e == exp(NEG_INF - m) underflows to exactly 0 and
     # e * logits is -0.0 — the sum is bit-identical to the masked form.
-    exp_logit = jnp.sum(e * logits, axis=1) * inv_z
-    dtau_ref[0, :] = wpick - wsum * exp_logit
+    exp_logit = jnp.sum(e * logits, axis=0, keepdims=True) * inv_z
+    dtau_ref[:] = wpick - wsum * exp_logit
 
     # d samples through logits and the L2 normalize (same bf16-operand
-    # MXU rule as the forward — see _tile_logits)
+    # MXU rule as the forward — see _tile_logits).  The contraction runs
+    # over the class/sublane axis of both operands: delta [C, TN] x
+    # text [C, D] -> [TN, D].
     d_emb = jax.lax.dot_general(
         delta.astype(text_ref.dtype), text_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * inv_temp_ref[0]  # [TN, D]
     proj = jnp.sum(emb * d_emb, axis=1, keepdims=True)
@@ -232,12 +251,15 @@ def _bwd_rows(H: int, W: int, C: int = 512):
 
     # The backward's VMEM-bound row cap scales inversely with the class
     # axis: the packed-contrast form (C=K=128) frees 4x the score/onehot
-    # tile budget vs full-C (rh=8; rh=16 is Mosaic-VMEM-rejected on chip
-    # even at C=128 — the dsamples/emb [TN, D] tiles don't shrink with C;
-    # experiments/ce_rows_probe.py).  Measured-on-chip envelope
-    # (2026-08-20 probes): flat tiles TN=rh*W up to 1024 compile for
-    # C <= 512 (TN=1792 @ C=256 and TN=2048 @ C=128 are REJECTED), and
-    # TN=256 @ C in {1024, 2048} compiles.  The default prefers the
+    # tile budget vs full-C.  The envelope notes below were measured on
+    # the ROW-MAJOR kernels (2026-08-20 probes): flat tiles TN=rh*W up to
+    # 1024 compile for C <= 512 (TN=1792 @ C=256 and TN=2048 @ C=128
+    # REJECTED), TN=256 @ C in {1024, 2048} compiles.  The CLASS-MAJOR
+    # rewrite is VMEM-cheaper (bwd rh=16 @ K=128 now compiles AND
+    # measures a wash vs rh=8 — 4.858 vs 4.865 ms isolated,
+    # experiments/ce_ablate_probe.py), so the row-major caps remain
+    # valid-and-conservative; the shipped canonical grid is re-certified
+    # off-chip by tests/test_tpu_lowering.py.  The default prefers the
     # long-measured anchors (rh=8 @ C<=128, rh=2 otherwise) and, when W
     # makes those lane-invalid (224^2 -> W=112), falls back ASCENDING to
     # the smallest valid tile within the envelope — or None (flat path)
@@ -367,9 +389,9 @@ def _ce_forward(samples, temperature, labels, valid, text_normalized,
         contrast_mask.astype(jnp.int32),
     ]
     if class_ids is not None:
-        in_specs.append(pl.BlockSpec((1, C), lambda i: (0, 0),
+        in_specs.append(pl.BlockSpec((C, 1), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(class_ids.astype(jnp.int32).reshape(1, C))
+        operands.append(class_ids.astype(jnp.int32).reshape(C, 1))
 
     ce = pl.pallas_call(
         _fwd_kernel,
@@ -434,9 +456,9 @@ def _ce_bwd_rule(tile_n, interpret, residuals, g):
         contrast_mask.astype(jnp.int32),
     ]
     if class_ids is not None:
-        in_specs.append(pl.BlockSpec((1, C), lambda i: (0, 0),
+        in_specs.append(pl.BlockSpec((C, 1), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(class_ids.astype(jnp.int32).reshape(1, C))
+        operands.append(class_ids.astype(jnp.int32).reshape(C, 1))
 
     dsamples, dtau_rows = pl.pallas_call(
         _bwd_kernel,

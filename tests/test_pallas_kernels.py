@@ -295,9 +295,14 @@ def test_fused_ce_4d_field_path_matches_flat():
         float(f(x4, t0)), float(f(x4.reshape(-1, D), t0)), rtol=1e-5)
     g4 = jax.grad(f, argnums=(0, 1))(x4, t0)
     g2 = jax.grad(f, argnums=(0, 1))(x4.reshape(-1, D), t0)
+    # The class-major backward contracts d_emb over the MAJOR (class) axis
+    # (delta [C, TN] x text [C, D]); CPU XLA's dot blocking then depends
+    # on the tile width, so the 4-D (TN=128) and flat (TN=8) paths agree
+    # only up to f32 accumulation order — ~2e-6 abs on near-cancelling
+    # delta entries (measured), not bit-exactly as the row-major form did.
     np.testing.assert_allclose(
         np.asarray(g4[0]), np.asarray(g2[0]).reshape(B, H, W, D),
-        rtol=1e-5, atol=1e-7)
+        rtol=1e-5, atol=5e-6)
     np.testing.assert_allclose(float(g4[1]), float(g2[1]), rtol=1e-5)
 
 

@@ -153,8 +153,12 @@ def main() -> None:
     S = 4  # label slots at 2x upsample
     n_draws = int(0.7 * res * res) * B
     kernel_flops = {
-        # histogram: one-hot matmul over the draw tiles
-        "histogram": 2.0 * n_draws * (S * 128),
+        # histogram: the kernel BRUTE-FORCES the scatter as a one-hot
+        # matmul — 2 * bins * total_draws real MXU FLOPs (its docstring's
+        # design tradeoff), bins = res^2 full-res pixels.  Keyed to the
+        # pallas_call row only (several satellite fusions carry the
+        # 'histogram' scope in their op names).
+        "fused_histogram))/pallas_call": 2.0 * float(res * res) * n_draws,
     }
 
     instrs = parse_hlo_instructions(hlo)

@@ -1,0 +1,172 @@
+"""Evidence probe: the conv stacks' 48%-of-peak is the architecture's
+channel-width cap, not a lowering defect.
+
+The per-interval roofline table (experiments/roofline_table.py) attributes
+22.1 ms/step (56% of device time) to the encoder/decoder convs at ~48% of
+the bf16 MXU peak, bound by NEITHER roofline.  Both FLOP-side rewrites
+measured negative (tail_conv_ab.py, upconv_ab.py), leaving the claim "the
+reference's layer widths cap MXU lane occupancy" (reference widths:
+encoder.py n_filters 32..512 mirroring RangeCLIP's ResNet-18 encoder,
+decoder.py:28 n_filters 512..32) asserted but not directly measured.
+
+Two measurements, bf16, one process, interleaved best-of-rounds:
+
+1. iso-FLOP width sweep — 3x3 same conv at width w and spatial H = 4096/w
+   so every row executes IDENTICAL MACs (B*H^2*w^2 const).  If achieved
+   TFLOP/s climbs with w toward peak, width is the limiter and the
+   low-width rows bound what any lowering of THIS architecture can reach.
+
+2. the real flagship layer shapes (256^2 input, batch 32) fwd — per-layer
+   % of bf16 peak, showing which layers pay the width tax.
+
+RESULT (v5 lite chip, 2026-08-20, batch 32, bf16, best-of-6, per-iter
+time from loop-length differencing — see bench()):
+
+  iso-FLOP sweep (H = 4096/w, identical 9.66 GFLOP rows):
+      w=32   @128^2: 0.478 ms   20.2 TFLOP/s  ( 10% peak)
+      w=64   @ 64^2: 0.121 ms   80.2 TFLOP/s  ( 41% peak)
+      w=128  @ 32^2: 0.049 ms  196.1 TFLOP/s  (100% peak)
+      w=256  @ 16^2: 0.050 ms  194.3 TFLOP/s  ( 99% peak)
+      w=512  @  8^2: 0.052 ms  186.6 TFLOP/s  ( 95% peak)
+  A 10x monotone efficiency climb with width at constant FLOPs, saturating
+  EXACTLY at the MXU's 128-lane width: XLA's conv lowering is at peak for
+  every >=128-wide conv, and sub-128 output widths leave lanes empty in
+  direct proportion.
+
+  real flagship layer shapes (fwd):
+      enc conv1 7x7/2 1->32 @256^2 :  0.450 ms  (  2% peak; 1-ch input)
+      enc g1    3x3 64->64 @ 64^2  :  0.126 ms  ( 39% peak)
+      enc g2    3x3 128->128 @32^2 :  0.045 ms  (~peak)
+      enc g3    3x3 256->256 @16^2 :  0.048 ms  (~peak)
+      enc g4    3x3 512->512 @ 8^2 :  0.041 ms  (~peak)
+      dec b2    3x3 128->128 @32^2 :  0.050 ms  ( 99% peak)
+      dec b3    3x3 64->64 @ 64^2  :  0.124 ms  ( 40% peak)
+      dec b4    3x3 32->32 @128^2  :  0.476 ms  ( 10% peak)
+      dec head  3x3 512->512 @128^2: 12.259 ms  (102% peak)
+  (Rows a few % above 100%: the loop body's convs are independent — only
+  the scalar accumulator chains iterations — so the scheduler can overlap
+  a conv's epilogue with the next one's prologue; nominal peak is the
+  right denominator, small overshoot is expected.)
+
+  Verdict: the head conv — the single biggest FLOP block in the step —
+  already runs AT peak, as does every >=128-wide layer; the bucket's 48%
+  average is entirely the reference architecture's sub-128 tail widths
+  (64->40%, 32->10%, 1-ch input conv ->2%) plus the backward's worse
+  small-dim geometry.  Widening the layers would fix it but changes the
+  MODEL (checkpoint/accuracy parity with the reference), so the widths
+  stay and 48% is the architecture's speed-of-light for this stack.
+  Kept as the recorded justification for the conv rows in the roofline
+  table (README.md).
+
+Run on the TPU machine:  python experiments/conv_width_probe.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from rangeclip_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
+DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                ("NHWC", "HWIO", "NHWC"))
+PEAK_TFLOPS = 197.0
+B = 32
+ROUNDS = 6
+
+
+def conv3(x, w):
+    return lax.conv_general_dilated(x, w, (1, 1), [(1, 1), (1, 1)],
+                                    dimension_numbers=DN)
+
+
+def conv7s2(x, w):
+    return lax.conv_general_dilated(x, w, (2, 2), [(3, 3), (3, 3)],
+                                    dimension_numbers=DN)
+
+
+def _looped(fn, iters):
+    # Device-side fori_loop; the input is scaled by an iteration-dependent
+    # factor so XLA cannot CSE the body, and the output collapses to a
+    # scalar so the host fetch is 4 bytes (block_until_ready does NOT
+    # reliably synchronize through the axon tunnel — a scalar fetch does).
+    @jax.jit
+    def run(x, w):
+        def body(i, acc):
+            xi = x * (1.0 + 1e-6 * i.astype(x.dtype))
+            return acc + jnp.sum(fn(xi, w).astype(jnp.float32))
+        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+    return run
+
+
+def bench(fn, x, w, est_flops):
+    """Per-iteration seconds: (T(n_hi) - T(n_lo)) / (n_hi - n_lo).
+
+    Differencing two loop lengths cancels the tunnel's per-dispatch +
+    fetch latency (~90 ms) and any constant program overhead.  The
+    iteration delta is sized so the conv work in the difference is
+    ~150 ms — two orders above the tunnel's ms-scale jitter (32-iter
+    deltas came back NEGATIVE under that jitter).
+    """
+    est_iter_s = est_flops / 100e12  # assume ~100 TFLOP/s for sizing only
+    n_diff = int(np.clip(0.15 / est_iter_s, 16, 4096))
+    n_lo, n_hi = 16, 16 + n_diff
+    lo, hi = _looped(fn, n_lo), _looped(fn, n_hi)
+    float(lo(x, w)); float(hi(x, w))  # compile both
+    best = np.inf
+    for _ in range(ROUNDS):
+        t0 = time.perf_counter(); float(lo(x, w)); t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(hi(x, w)); t_hi = time.perf_counter() - t0
+        best = min(best, (t_hi - t_lo) / n_diff)
+    return best
+
+
+def flops_conv(x, w, stride=1):
+    H = x.shape[1] // stride
+    return 2 * x.shape[0] * H * H * w.shape[0] * w.shape[1] * w.shape[2] * w.shape[3]
+
+
+def row(name, fn, x, w, stride=1):
+    dt = bench(fn, x, w, flops_conv(x, w, stride))
+    tf = flops_conv(x, w, stride) / dt / 1e12
+    print(f"  {name:30s}: {dt*1e3:6.3f} ms  {tf:6.1f} TFLOP/s  "
+          f"({100*tf/PEAK_TFLOPS:.0f}% peak)", flush=True)
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    print(f"devices: {jax.devices()}  batch {B}  bf16  best-of-{ROUNDS}")
+
+    print("\n## iso-FLOP width sweep (H = 4096/w — identical MACs per row)")
+    for w in (32, 64, 128, 256, 512):
+        H = 4096 // w
+        x = jax.random.normal(key, (B, H, H, w), jnp.bfloat16)
+        k = jax.random.normal(key, (3, 3, w, w), jnp.bfloat16)
+        row(f"w={w:<4d} @{H}^2", conv3, x, k)
+
+    print("\n## real flagship layer shapes (fwd)")
+    x = jax.random.normal(key, (B, 256, 256, 1), jnp.bfloat16)
+    k = jax.random.normal(key, (7, 7, 1, 32), jnp.bfloat16)
+    row("enc conv1 7x7/2 1->32 @256^2", conv7s2, x, k, stride=2)
+    shapes = [
+        ("enc g1  3x3 64->64 @64^2", 64, 64),
+        ("enc g2  3x3 128->128 @32^2", 32, 128),
+        ("enc g3  3x3 256->256 @16^2", 16, 256),
+        ("enc g4  3x3 512->512 @8^2", 8, 512),
+        ("dec b2  3x3 128->128 @32^2", 32, 128),
+        ("dec b3  3x3 64->64 @64^2", 64, 64),
+        ("dec b4  3x3 32->32 @128^2", 128, 32),
+        ("dec head 3x3 512->512 @128^2", 128, 512),
+    ]
+    for name, H, C in shapes:
+        x = jax.random.normal(key, (B, H, H, C), jnp.bfloat16)
+        k = jax.random.normal(key, (3, 3, C, C), jnp.bfloat16)
+        row(name, conv3, x, k)
+
+
+if __name__ == "__main__":
+    main()

@@ -48,15 +48,25 @@ time from loop-length differencing — see bench()):
   a conv's epilogue with the next one's prologue; nominal peak is the
   right denominator, small overshoot is expected.)
 
+  fwd+bwd iso-FLOP sweep (cotangent = y via sum(y^2)/2 — an all-ones
+  cotangent from plain sum() lets XLA fold both backward convs into
+  reductions and reads an impossible 150% peak):
+      w=32   @128^2: 1.482 ms   19.6 TFLOP/s  (10% peak)
+      w=128  @ 32^2: 0.153 ms  189.2 TFLOP/s  (96% peak)
+      w=512  @  8^2: 0.156 ms  185.6 TFLOP/s  (94% peak)
+  The backward pays exactly the same width tax as the forward — per-FLOP
+  attainment at each width matches the fwd sweep, so backward geometry
+  adds nothing beyond the width effect.
+
   Verdict: the head conv — the single biggest FLOP block in the step —
-  already runs AT peak, as does every >=128-wide layer; the bucket's 48%
-  average is entirely the reference architecture's sub-128 tail widths
-  (64->40%, 32->10%, 1-ch input conv ->2%) plus the backward's worse
-  small-dim geometry.  Widening the layers would fix it but changes the
-  MODEL (checkpoint/accuracy parity with the reference), so the widths
-  stay and 48% is the architecture's speed-of-light for this stack.
-  Kept as the recorded justification for the conv rows in the roofline
-  table (README.md).
+  already runs AT peak, as does every >=128-wide layer, forward and
+  backward; the bucket's 48% average is entirely the reference
+  architecture's sub-128 tail widths (64->40%, 32->10%, 1-ch input conv
+  ->2%).  Widening the layers would fix it but changes the MODEL
+  (checkpoint/accuracy parity with the reference), so the widths stay
+  and 48% is the architecture's speed-of-light for this stack.  Kept as
+  the recorded justification for the conv rows in the roofline table
+  (README.md).
 
 Run on the TPU machine:  python experiments/conv_width_probe.py
 """
@@ -166,6 +176,28 @@ def main():
         x = jax.random.normal(key, (B, H, H, C), jnp.bfloat16)
         k = jax.random.normal(key, (3, 3, C, C), jnp.bfloat16)
         row(name, conv3, x, k)
+
+    print("\n## iso-FLOP sweep, fwd+bwd (3x the fwd FLOPs: fwd, dx, dw)")
+
+    def fwd_bwd(x, w):
+        # sum(y^2)/2 makes the cotangent y itself — a constant (all-ones)
+        # cotangent from plain sum() lets XLA fold BOTH backward convs
+        # into cheap reductions (measured: impossible 150%-peak rows).
+        dx, dw = jax.grad(
+            lambda a, b: 0.5 * jnp.sum(jnp.square(conv3(a, b).astype(jnp.float32))),
+            argnums=(0, 1))(x, w)
+        return jnp.sum(dx.astype(jnp.float32)) + jnp.sum(dw.astype(jnp.float32))
+
+    for w in (32, 128, 512):
+        H = 4096 // w
+        x = jax.random.normal(key, (B, H, H, w), jnp.bfloat16)
+        k = jax.random.normal(key, (3, 3, w, w), jnp.bfloat16)
+        est = 3 * flops_conv(x, k)
+        dt = bench(fwd_bwd, x, k, est)
+        tf = est / dt / 1e12
+        print(f"  w={w:<4d} @{H}^2 fwd+bwd           : {dt*1e3:6.3f} ms  "
+              f"{tf:6.1f} TFLOP/s  ({100*tf/PEAK_TFLOPS:.0f}% peak)",
+              flush=True)
 
 
 if __name__ == "__main__":

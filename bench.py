@@ -181,9 +181,37 @@ def main() -> None:
         # (which costs ~1.2 ms/call, ~8% of the whole pipeline).
         return jnp.sum(topk.reshape(-1).astype(jnp.float32))
 
-    compiled = predict.lower(variables, depth, text, cand).compile()
+    # One timing round = ONE dispatch executing ITERS predicts in a
+    # device-side scan over the cycled input buffers.  The axon tunnel
+    # inserts multi-ms per-dispatch gaps that vary ~5x between processes
+    # (round-5 measurement: 18.9 ms device vs 22-60 ms wall per call
+    # depending on the day) — scanning on-device measures the chip, not
+    # the tunnel, while keeping every integrity property: all ITERS
+    # batches really execute (the checksum chain depends on each), the
+    # clock covers dispatch + execution + the final 4-byte fetch, and the
+    # FLOP-sanity gate bounds the whole scanned program.
+    depths_stacked = jnp.stack(depths)
+
+    @jax.jit
+    def predict_round(variables, depths_stacked, text, cand):
+        def body(acc, i):
+            d = jax.lax.dynamic_index_in_dim(
+                depths_stacked, i % depths_stacked.shape[0], keepdims=False)
+            return acc + predict(variables, d, text, cand), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(ITERS, dtype=jnp.int32))
+        return acc
+
+    compiled_one = predict.lower(variables, depth, text, cand).compile()
+    compiled = predict_round.lower(
+        variables, depths_stacked, text, cand).compile()
     init_done.set()  # init watchdog covers backend init + model init + compile
-    flops_per_call = float(compiled.cost_analysis().get("flops", 0.0))
+    # FLOP accounting comes from the SINGLE-call program: XLA's
+    # cost_analysis counts a scan body once, not trip-count times, so the
+    # scanned program's figure would understate executed FLOPs 30x and
+    # neuter the peak-FLOP integrity gate.
+    flops_per_call = float(compiled_one.cost_analysis().get("flops", 0.0))
     peak = _chip_peak_flops(jax.devices()[0])
     _progress(
         f"predict compiled: {flops_per_call / 1e9:.1f} GFLOP/call "
@@ -202,24 +230,25 @@ def main() -> None:
         1200.0 * max(1.0, (ROUNDS * ITERS * BATCH) / (4 * 30 * 128))))
     _arm_watchdog(measure_done, measure_secs, "measure")
 
-    chk0 = float(jax.device_get(predict(variables, depth, text, cand)))
+    chk0 = float(jax.device_get(predict_round(variables, depths_stacked,
+                                              text, cand)))
     if not (chk0 == chk0):  # NaN guard
         raise SystemExit("benchmark checksum is NaN — model output is garbage")
-    for i in range(1, WARMUP):
-        jax.block_until_ready(predict(variables, depths[i % len(depths)], text, cand))
+    for _ in range(1, WARMUP):
+        float(jax.device_get(predict_round(variables, depths_stacked, text,
+                                           cand)))
 
     # Several timing rounds, best-of: the shared-TPU tunnel shows transient
-    # contention that can depress a single measurement.  Each round chains a
-    # device-side scalar accumulator through all ITERS calls and the clock
-    # stops only once that scalar has crossed to the host.
+    # contention that can depress a single measurement.  Each round is one
+    # scanned program; the clock stops once its scalar checksum has
+    # crossed to the host (a 4-byte fetch — block_until_ready does not
+    # reliably synchronize through the tunnel).
     best_dt = float("inf")
     checksums = []
     for r in range(ROUNDS):
         t0 = time.perf_counter()
-        acc = jnp.float32(0.0)
-        for i in range(ITERS):
-            acc = acc + predict(variables, depths[i % len(depths)], text, cand)
-        total = float(jax.device_get(acc))
+        total = float(jax.device_get(predict_round(variables, depths_stacked,
+                                                   text, cand)))
         dt = time.perf_counter() - t0
         checksums.append(total)
         best_dt = min(best_dt, dt)

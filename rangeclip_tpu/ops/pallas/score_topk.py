@@ -56,7 +56,12 @@ total) into one sorted-insert sweep: the key array is walked once in
 top-registers with a 2-op max/min cascade (10 full-vreg ops per 8
 classes), and the final 8*k-row pool is knocked out in k cheap passes.
 ~10 S-traversals equivalent (A/B numbers: experiments/select_ab.py),
-with ids and values decoded exactly from the winning keys.
+with ids and values decoded exactly from the winning keys.  Round 5: the
+key arithmetic moved inside the chunk loop (no [S, TN] f32/i32
+intermediates live across it) after the stage-ablation probe
+(experiments/select_ablate_probe.py) showed those intermediates starving
+the input double-buffer — 3.9 -> 2.45 ms at the bench scale, ~80% of the
+field's HBM-read roofline, checksum-identical.
 
 Semantic differences from the knockout path, all outside the range of
 real conv scores: packed keys rank +0.0 above -0.0 instead of breaking
@@ -122,24 +127,28 @@ def _select_kernel_packed(scores_ref, ids_ref, idx_ref, val_ref=None, *,
                           top_k: int):
     """bf16 packed-key selection — see the module docstring.  Exactly the
     knockout path's semantics (smallest-id ties, -1/-NEG_INF overflow
-    fills) for bf16 scores with global ids < 2**16."""
+    fills) for bf16 scores with global ids < 2**16.
+
+    The key arithmetic runs PER 8-ROW CHUNK inside the insert loop (round
+    5): computing the full [S, TN] key up front materializes an f32 widen
+    plus an i32 key array (~12.6 MB at the shipped tile), which starves
+    the input double-buffer — the round-5 stage-ablation probe
+    (experiments/select_ablate_probe.py) measured the whole-array form at
+    3.9 ms vs 2.45 ms chunk-wise against a 1.97 ms HBM-read floor (the
+    transpose and key arithmetic themselves are FREE, fully hidden under
+    the stream, once nothing large stays live).  The chunk form also uses
+    one fused add for the |0xFFFF / -id steps: for bf16-widened scores
+    (low 16 mantissa bits structurally zero) flipping only the TOP 15
+    magnitude bits (`& 0x7FFF0000`) gives the same order, and then
+    `key = m' + (0xFFFF - id)` equals the two-step form for positive AND
+    negative scores — checksum-identical on the bench field."""
     scores = scores_ref[:]
     scores = scores.reshape(-1, scores.shape[-1])  # 4-D row blocks -> [TN, S]
     S = scores.shape[-1]
     tn = scores.shape[0]
     ids = ids_ref[:].reshape(S, 1)
-
-    # transpose at 16-bit width (half the vreg traffic of an f32
-    # transpose), then widen — bf16 -> f32 keeps the low 16 bits zero
-    b = jax.lax.bitcast_convert_type(scores.T.astype(jnp.float32),
-                                     jnp.int32)
-    # monotone int32 key; low 16 bits are zero for +, 0xFFFF for - (the
-    # bf16->f32 widening guarantees zero low mantissa bits), so `| 0xFFFF`
-    # gives every key the same low-bit base and `- id` packs the exact
-    # smallest-id tie-break without borrowing into the value bits.
-    key = b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))
-    key = (key | jnp.int32(0xFFFF)) - ids
-    key = jnp.where(ids >= 0, key, jnp.int32(_INT_MIN))
+    t = scores.T  # bf16 in-register transpose (half the f32 vreg traffic)
+    add = jnp.int32(0xFFFF) - ids
     # Trace-time Python loop with STATIC slices: a traced chunk index
     # would be a dynamic_slice of a VALUE, which has no Mosaic TC
     # lowering rule ("Unimplemented primitive ... dynamic_slice", hit on
@@ -147,10 +156,15 @@ def _select_kernel_packed(scores_ref, ids_ref, idx_ref, val_ref=None, *,
     # regression test in tests/test_tpu_lowering.py now does).
     regs = [jnp.full((8, tn), _INT_MIN, jnp.int32) for _ in range(top_k)]
     for c in range(S // 8):
-        t = key[c * 8:(c + 1) * 8, :]
+        b = jax.lax.bitcast_convert_type(
+            t[c * 8:(c + 1) * 8, :].astype(jnp.float32), jnp.int32)
+        idc = ids[c * 8:(c + 1) * 8]
+        tc = (b ^ ((b >> 31) & jnp.int32(0x7FFF0000))) \
+            + add[c * 8:(c + 1) * 8]
+        tc = jnp.where(idc >= 0, tc, jnp.int32(_INT_MIN))
         for i in range(top_k):
-            hi = jnp.maximum(regs[i], t)
-            t = jnp.minimum(regs[i], t)
+            hi = jnp.maximum(regs[i], tc)
+            tc = jnp.minimum(regs[i], tc)
             regs[i] = hi
     # Each of the 8 sublane streams now holds its own sorted top-k, and
     # every global top-k element is top-k within its stream: knock out the

@@ -91,43 +91,16 @@ def make_kernel(stage):
     return kernel
 
 
-def build(stage):
-    hb = H // RH
-    grid = (B * hb,)
-    row_tile = RH * W
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, RH, W, D), lambda i: (i // hb, i % hb, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((S, row_tile), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((S, row_tile), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K,), lambda i: (0,), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-    ]
-
-    def f(samples, inv_temp, labels, valid, text, mask, ids):
-        ce = pl.pallas_call(
-            make_kernel(stage),
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, row_tile), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((1, B * H * W), jnp.float32),
-        )(inv_temp, samples, labels, valid, text, mask, ids)
-        return jnp.sum(ce)
-
-    return jax.jit(f)
-
-
 def make_kernel_t(stage):
     """CLASS-MAJOR variant: scores computed [K, TN] (classes on sublanes,
     rows on lanes), so the label compare broadcasts the [S, TN] lane-
     aligned label row over sublanes for FREE, the softmax/pick reductions
     are sublane reductions, and the [1, TN] output row needs no final
     relayout — the score_topk.py lesson applied to CE."""
+    # Only the top two stages exist class-major; an earlier ablation stage
+    # would silently run the FULL slots kernel and mislabel its timing.
+    assert stage in ("softmax", "slots"), (
+        f"class-major variant implements only softmax/slots, got {stage!r}")
     lvl = STAGES.index(stage)
 
     def kernel(inv_temp_ref, samples_ref, labels_ref, valid_ref, text_ref,

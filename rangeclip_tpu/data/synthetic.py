@@ -84,6 +84,11 @@ class SyntheticDepthSegDataset:
         self.floor_frac = floor_frac
         self.labels = ["unavailable"] + [f"object_{i}" for i in range(1, num_classes)]
 
+        if consistent and num_classes < 2:
+            raise ValueError(
+                "consistent synthetic scenes need num_classes >= 2 (index 0 "
+                "is the reserved 'unavailable' slot and never appears in "
+                f"segmentation maps); got {num_classes}")
         if consistent:
             ds_rng = np.random.default_rng((seed, 0xD5))
             grid = np.linspace(1000.0, 4000.0, max(num_classes, 2), dtype=np.float32)

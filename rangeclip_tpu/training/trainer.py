@@ -351,7 +351,15 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
         train_writer = val_writer = None
 
     best_results: Dict = {"step": -1, "loss": float("inf")}
-    rng = jax.random.key(cfg.seed + 1)
+    # POSITIONAL per-step keys (round 5): step s always trains under
+    # fold_in(root, s), regardless of where the process started.  The
+    # previous sequential-split chain (rng, step_rng = split(rng) from
+    # process start) made a resumed run draw different pixel samples /
+    # distractors than the straight-through run from the same step, so
+    # train-N == train-k->resume->N held only in distribution.  With
+    # positional keys it holds BITWISE at fp32
+    # (tests/test_e2e.py::test_kill_and_resume_equivalence).
+    rng_root = jax.random.key(cfg.seed + 1)
     train_step_count = start_step
     done = False
     nproc = jax.process_count()
@@ -368,9 +376,19 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
     opt_steps_per_epoch = max(1, len(train_loader) // cfg.accumulation_steps)
     n_opt_steps_total = opt_steps_per_epoch * n_epoch
     epoch_start = min(start_step // opt_steps_per_epoch, n_epoch - 1) + 1
-    if start_step and epoch_start > 1:
+    # Mid-epoch resume: the restored step may sit inside epoch_start, so
+    # the first resumed epoch must SKIP the accumulation windows that
+    # epoch already consumed before the checkpoint — otherwise resumed
+    # step k+1 would see epoch_start's first batches again (and the run
+    # would overshoot the schedule by the replayed windows).  The skipped
+    # windows stream through the loader (keeping its epoch-keyed order)
+    # but run no tower call and no optimizer step.
+    skip_windows = start_step - (epoch_start - 1) * opt_steps_per_epoch
+    if start_step and (epoch_start > 1 or skip_windows):
         log(f"Resuming at epoch {epoch_start}/{n_epoch} "
-            f"(step {start_step}).", log_path, to_console=is_host0)
+            f"(step {start_step}; skipping {skip_windows} consumed "
+            f"window(s) of epoch {epoch_start}).", log_path,
+            to_console=is_host0)
 
     log(f"{jax.process_index()} Begin training...", log_path)
 
@@ -391,6 +409,11 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
         for batch in train_loader:
             microbatches.append(batch)
             if len(microbatches) < cfg.accumulation_steps:
+                continue
+
+            if epoch == epoch_start and skip_windows > 0:
+                skip_windows -= 1
+                microbatches = []
                 continue
 
             step_batch = _accumulate_microbatches(microbatches)
@@ -416,7 +439,7 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
                     mesh, window_embs, nproc
                 )
 
-            rng, step_rng = jax.random.split(rng)
+            step_rng = jax.random.fold_in(rng_root, train_step_count)
             if cfg.profile_dir and train_step_count == start_step + 1:
                 jax.profiler.start_trace(cfg.profile_dir)
             state, info = train_step(

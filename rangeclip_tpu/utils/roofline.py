@@ -141,27 +141,17 @@ def parse_hlo_instructions(hlo_text: str) -> Dict[str, Dict[str, float]]:
     convolution/dot FLOPs on the line itself or inside the fusion's
     called computation.
     """
-    lines = [ln for ln in hlo_text.splitlines() if " = " in ln]
-
-    # pass 1: name -> (result bytes, first result shape dims)
-    res_bytes: Dict[str, int] = {}
-    res_shape: Dict[str, List[int]] = {}
-    parsed: List[Tuple[str, str]] = []
-    for ln in lines:
-        im = _INSTR_RE.match(ln)
-        if not im:
-            continue
-        name = im.group(1)
-        parsed.append((name, ln))
-        res_bytes[name] = _result_bytes(ln)
-        shp = _SHAPE_RE.search(ln)
-        res_shape[name] = _dims(shp.group(2)) if shp else []
-
-    # pass 2: per-line flops; accumulate per-computation flops for fusions
-    comp_flops: Dict[str, int] = {}
-    current = ""
     comp_re = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s+\([^)]*\)\s*->")
-    line_flops: Dict[str, int] = {}
+
+    # pass 1: (computation, name) -> (result bytes, first result shape).
+    # Keying PER COMPUTATION matters: fused computations reuse local names
+    # (%param_0, %p0 ...) and a global last-wins map can mis-resolve
+    # operand shapes — wrong conv/dot FLOPs inside fusions (ADVICE r4).
+    # HLO operands always reference values of the same computation.
+    res_bytes: Dict[Tuple[str, str], int] = {}
+    res_shape: Dict[Tuple[str, str], List[int]] = {}
+    parsed: List[Tuple[str, str, str]] = []
+    current = ""
     for ln in hlo_text.splitlines():
         cm = comp_re.match(ln)
         if cm:
@@ -173,23 +163,37 @@ def parse_hlo_instructions(hlo_text: str) -> Dict[str, Dict[str, float]]:
         if not im:
             continue
         name = im.group(1)
+        parsed.append((current, name, ln))
+        res_bytes[(current, name)] = _result_bytes(ln)
+        shp = _SHAPE_RE.search(ln)
+        res_shape[(current, name)] = _dims(shp.group(2)) if shp else []
+
+    # pass 2: per-line flops; accumulate per-computation flops for fusions
+    comp_flops: Dict[str, int] = {}
+    line_flops: Dict[Tuple[str, str], int] = {}
+    for comp, name, ln in parsed:
         fl = None
         if "convolution(" in ln:
             ops = _operands(ln)
-            rhs = res_shape.get(ops[1]) if len(ops) > 1 else None
-            fl = _conv_flops(ln, res_shape.get(name, []), rhs)
+            rhs = res_shape.get((comp, ops[1])) if len(ops) > 1 else None
+            fl = _conv_flops(ln, res_shape.get((comp, name), []), rhs)
         elif " dot(" in ln:
             ops = _operands(ln)
-            lhs = res_shape.get(ops[0]) if ops else None
-            fl = _dot_flops(ln, res_shape.get(name, []), lhs)
+            lhs = res_shape.get((comp, ops[0])) if ops else None
+            fl = _dot_flops(ln, res_shape.get((comp, name), []), lhs)
         if fl:
-            line_flops[name] = fl
-            comp_flops[current] = comp_flops.get(current, 0) + fl
+            line_flops[(comp, name)] = fl
+            comp_flops[comp] = comp_flops.get(comp, 0) + fl
+
+    by_comp: Dict[str, Dict[str, int]] = {}
+    for (comp, name), b in res_bytes.items():
+        by_comp.setdefault(comp, {})[name] = b
 
     out: Dict[str, Dict[str, float]] = {}
-    for name, ln in parsed:
-        byt = res_bytes.get(name, 0) + _operand_bytes(ln, res_bytes)
-        fl = line_flops.get(name, 0)
+    for comp, name, ln in parsed:
+        byt = res_bytes.get((comp, name), 0) \
+            + _operand_bytes(ln, by_comp.get(comp, {}))
+        fl = line_flops.get((comp, name), 0)
         if " fusion(" in ln:
             cm2 = _CALLS_RE.search(ln)
             if cm2:

@@ -915,3 +915,44 @@ def test_pixel_text_infonce_packed_dispatch_and_overflow(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(ga, np.float32), np.asarray(gb, np.float32),
             rtol=2e-2, atol=1e-6)
+
+
+def test_fused_ce_4d_vs_flat_bit_equal_at_common_tile(monkeypatch):
+    """Demonstrates the accumulation-order rationale behind the 5e-6
+    tolerance in test_fused_ce_4d_field_path_matches_flat (VERDICT r4 #8):
+    the 4-D and flat paths differ ONLY in row-tile width (rh*W vs tile_n),
+    and the class-major backward's d_emb contraction (delta [C, TN] x
+    text [C, D]) is blocked per tile width.  Forcing BOTH paths to the
+    same 256-row tiles makes the grads return to BIT-EQUALITY — so the
+    production-tile divergence is accumulation order, not a math bug, and
+    a real grad defect under 5e-6 would still be caught here."""
+    from rangeclip_tpu.ops.pallas.pixel_text_ce import (
+        _rows_per_block,
+        fused_pixel_text_ce,
+    )
+
+    monkeypatch.setenv("RANGECLIP_CE_ROWS_FWD", "2")
+    monkeypatch.setenv("RANGECLIP_CE_ROWS_BWD", "2")
+
+    rng = np.random.default_rng(6)
+    B, H, W, D, C = 2, 4, 128, 16, 24
+    assert _rows_per_block(H, W, prefer=2) == 2  # rh*W == 256 == tile_n
+    x4 = jnp.asarray(rng.standard_normal((B, H, W, D)), jnp.float32)
+    labels = jnp.asarray(rng.integers(1, 10, B * H * W), jnp.int32)
+    valid = jnp.asarray((rng.random(B * H * W) > 0.3), jnp.float32)
+    text_n = l2_normalize(
+        jnp.asarray(rng.standard_normal((C, D)), jnp.float32), axis=-1
+    )
+    mask = jnp.ones(C, bool)
+
+    def f(s, t):
+        return fused_pixel_text_ce(s, t, labels, valid, text_n, mask, 256,
+                                   True)
+
+    t0 = jnp.float32(0.07)
+    assert float(f(x4, t0)) == float(f(x4.reshape(-1, D), t0))
+    g4 = jax.grad(f, argnums=(0, 1))(x4, t0)
+    g2 = jax.grad(f, argnums=(0, 1))(x4.reshape(-1, D), t0)
+    np.testing.assert_array_equal(
+        np.asarray(g4[0]).reshape(-1, D), np.asarray(g2[0]))
+    assert float(g4[1]) == float(g2[1])

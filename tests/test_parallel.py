@@ -491,3 +491,79 @@ def test_spatial_sharded_predict_matches_single_device():
         make_sharded_predict(
             model, make_mesh(n_data=2, n_spatial=2), top_k=K,
             predict_path="folded")
+
+
+def test_model_sharded_unfolded_predict_large_C_matches_single_device():
+    """VERDICT r4 #3 (predict arm): the 'model' axis exercised at the
+    NYUv2-transfer scale where it actually pays — C=2048 >> embedding
+    dim, the regime where folding loses (folded_is_profitable is False
+    even for the per-shard slice) and the [N, S] score field is the
+    memory problem.  The auto dispatch must take the UNFOLDED per-shard
+    formulation, and the data x model sharded labels must be
+    bit-identical to single-device DepthUNet.predict over the full
+    2048-row table.  Match: model.py:164-165 einsum + SURVEY §5 scaling
+    concern (a); BASELINE.json config #4."""
+    from rangeclip_tpu.models.depth_unet import folded_is_profitable
+    from rangeclip_tpu.parallel.predict import (
+        make_sharded_predict, pad_class_table, shard_predict_inputs,
+    )
+
+    model = DepthUNet(CFG)
+    C_big, K = 2048, 5
+    x = jax.random.normal(jax.random.key(1), (B, H, W, 1))
+    vars_ = model.init(jax.random.key(0), x, train=False)
+    table = jax.random.normal(jax.random.key(2), (C_big, 32))
+
+    want, _, _ = model.apply(
+        vars_, x, table, jnp.ones((C_big,), bool), K,
+        method=DepthUNet.predict, return_embeddings=False,
+    )
+
+    for n_data, n_model in ((2, 4), (4, 2)):
+        # the regime claim: even the per-shard slice is past the folded
+        # crossover, so 'auto' resolves to the unfolded path
+        assert not folded_is_profitable(C_big // n_model, 32)
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        padded, ids = pad_class_table(table, n_model, lane_multiple=False)
+        fn = make_sharded_predict(model, mesh, top_k=K, predict_path="auto")
+        with jax.sharding.set_mesh(mesh):
+            xd, td, idsd = shard_predict_inputs(mesh, x, padded, ids)
+            got = jax.device_get(fn(vars_, xd, td, idsd))
+        np.testing.assert_array_equal(
+            got, np.asarray(want),
+            err_msg=f"C=2048 mesh data={n_data} model={n_model}",
+        )
+
+
+def test_model_sharded_packed_ce_train_step_large_C(monkeypatch):
+    """VERDICT r4 #3 (train arm): the bf16 packed-contrast CE train step
+    (gathered member table + lax.cond overflow fallback) under the
+    data x model mesh at C=2048 — the scale where packing is the measured
+    1.34x step win — matches its own single-device kernel dispatch."""
+    cfg = DepthUNetConfig(
+        encoder_filters=(8, 16, 16, 16, 32), embedding_dim=128,
+        use_batch_norm=True, dtype=jnp.bfloat16,
+    )
+    Bb, Hh, Ww, Cc = 8, 16, 16, 2048
+    rng = np.random.default_rng(17)
+    batch_np = {
+        "depth": rng.standard_normal((2, Bb, Hh, Ww, 1)).astype(np.float32),
+        "segmentation": rng.integers(0, Cc, size=(2, Bb, Hh, Ww)).astype(
+            np.int32) % 64,  # bounded label diversity, packing never overflows
+        "object_label": np.ones((2, Bb), np.int32),
+        "image_embeddings": rng.standard_normal((2, Bb, 128)).astype(
+            np.float32),
+        "sample_valid": np.ones((2, Bb), np.float32),
+    }
+    text_np = rng.standard_normal((Cc, 128)).astype(np.float32)
+
+    ref, pn_ref = _run_sharded_step(
+        cfg, batch_np, text_np, Cc, (1, 1, 1), "interpret", monkeypatch,
+        contrast_capacity=128)
+    ker, pn_k = _run_sharded_step(
+        cfg, batch_np, text_np, Cc, (2, 1, 2), "interpret", monkeypatch,
+        contrast_capacity=128)
+    for k in ref:
+        np.testing.assert_allclose(ker[k], ref[k], rtol=5e-3, atol=1e-5,
+                                   err_msg=f"C=2048 packed-CE sharded {k}")
+    np.testing.assert_allclose(pn_k, pn_ref, rtol=1e-3)

@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
         "the fused CE scores a gathered member table of this many class "
         "slots instead of the full label table when the live contrast set "
         "fits, falling back to full-table scoring on overflow.")
+    parser.add_argument(
+        "--class_balanced", action="store_true",
+        help="Rescale pixel-text CE weights so every present class "
+        "contributes equal total weight per window (opt-in divergence "
+        "from the reference's uniform pixel sampling; counters dominant-"
+        "class gradient dilution — see HybridLossConfig.class_balanced).")
     parser.add_argument("--accumulation_steps", type=int, default=8)
 
     # Checkpointing and logging (train.py:64-77)
@@ -178,6 +184,7 @@ def main(argv=None) -> None:
         w_image=args.w_image,
         w_smooth=args.w_smooth,
         contrast_capacity=args.contrast_capacity,
+        class_balanced=args.class_balanced,
         bf16=args.bf16,
         ddp_parity=args.ddp_parity,
         seed=args.seed,

@@ -53,6 +53,17 @@ class HybridLossConfig:
     # << C); a lax.cond falls back to the full-C kernel on overflow, so
     # the loss value is preserved for every input.  None disables packing.
     contrast_capacity: int | None = 128
+    # OPT-IN divergence from the reference's uniform pixel sampling
+    # (model.py:220): rescale each sampled pixel's CE weight so every
+    # PRESENT class contributes equal total weight to the window's
+    # pixel-text loss, preserving sum(valid).  Rationale (round-5
+    # convergence diagnosis, experiments/top1_dtype_ab.py): the synthetic
+    # floor plane is >55% of CE targets, diluting the region-class
+    # gradient ~10x — the trained model reached 100% floor-pixel top-1 but
+    # 10% region-pixel top-1 with precision exonerated (fp32 == bf16 to 3
+    # decimals).  Costs one segment-sum + one small-table gather per
+    # window (~ms at canonical scale); leave False for reference parity.
+    class_balanced: bool = False
 
 
 def pixel_sampling_key(rng: jax.Array) -> jax.Array:
@@ -201,6 +212,19 @@ def compute_hybrid_loss(
                 2, 4, 0, 1, 3).reshape(s * s, B_ * h_ * w_)
             valid = valid.reshape(B_, h_, s, w_, s).transpose(
                 2, 4, 0, 1, 3).reshape(s * s, B_ * h_ * w_)
+        if cfg.class_balanced:
+            flat_l = labels.reshape(-1)
+            flat_v = valid.reshape(-1).astype(jnp.float32)
+            counts = jax.ops.segment_sum(flat_v, flat_l,
+                                         num_segments=num_classes)
+            present = counts > 0
+            n_present = jnp.maximum(jnp.sum(present.astype(jnp.float32)),
+                                    1.0)
+            mult = jnp.where(present,
+                             jnp.sum(counts) / (n_present
+                                                * jnp.maximum(counts, 1e-9)),
+                             0.0)
+            valid = (flat_v * jnp.take(mult, flat_l)).reshape(valid.shape)
         text_loss = pixel_text_infonce(
             samples, labels, valid, candidate_text_embeddings, contrast_mask,
             temperature_text, contrast_capacity=cfg.contrast_capacity,

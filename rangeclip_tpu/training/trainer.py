@@ -112,6 +112,9 @@ class TrainerConfig:
     # Packed-contrast CE capacity (TPU bf16 path; see HybridLossConfig).
     # 0 disables packing (always score the full class table).
     contrast_capacity: int = 128
+    # Class-balanced pixel-text CE weighting (opt-in divergence from the
+    # reference's uniform sampling; see HybridLossConfig.class_balanced).
+    class_balanced: bool = False
     embedding_dim: int = 512
     use_batch_norm: bool = True
     seed: int = 0
@@ -313,6 +316,7 @@ def train_depth_clip_model(cfg: TrainerConfig) -> Dict:
     loss_cfg = HybridLossConfig(
         w_text=cfg.w_text, w_image=cfg.w_image, w_smooth=cfg.w_smooth,
         contrast_capacity=cfg.contrast_capacity or None,
+        class_balanced=cfg.class_balanced,
     )
     train_step = make_train_step(model, optimizer, loss_cfg,
                                  cfg.accumulation_steps,

@@ -543,3 +543,54 @@ def test_histogram_slot_remap_identity():
         2, 4, 0, 1, 3).reshape(s * s, B * h * w)
     np.testing.assert_array_equal(np.asarray(w_slot), w_ref)
     np.testing.assert_array_equal(np.asarray(lab_slot), lab_ref)
+
+
+def test_class_balanced_weighting_equalizes_class_mass():
+    """class_balanced=True (opt-in): every PRESENT class contributes equal
+    total weight to the pixel-text CE and sum(valid) is preserved, so the
+    loss normalization is unchanged.  Verified against an instrumented
+    call that captures the weights the CE actually receives."""
+    import rangeclip_tpu.losses.hybrid as hybrid_mod
+    from rangeclip_tpu.losses.hybrid import HybridLossConfig, compute_hybrid_loss
+
+    rng = np.random.default_rng(0)
+    B, H, W, D, C = 2, 8, 8, 16, 12
+    emb = jnp.asarray(rng.standard_normal((B, H, W, D)), jnp.float32)
+    # heavy imbalance: label 3 dominates, a few pixels of 5 and 7
+    seg = np.full((B, H, W), 3, np.int32)
+    seg[:, :2, :2] = 5
+    seg[0, 7, 7] = 7
+    text = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
+    med = jnp.zeros((C, C), bool)
+
+    captured = {}
+    orig = hybrid_mod.pixel_text_infonce
+
+    def spy(samples, labels, valid, *a, **kw):
+        captured["labels"] = np.asarray(labels).ravel()
+        captured["valid"] = np.asarray(valid).ravel()
+        return orig(samples, labels, valid, *a, **kw)
+
+    hybrid_mod.pixel_text_infonce = spy
+    try:
+        for balanced in (False, True):
+            loss, _ = compute_hybrid_loss(
+                jax.random.key(1), emb, jnp.asarray(seg), text, med, med,
+                jnp.float32(0.07), jnp.float32(0.1), 0.0, 0.0,
+                config=HybridLossConfig(
+                    w_image=0.0, w_smooth=0.0, class_balanced=balanced),
+            )
+            assert np.isfinite(float(loss))
+            lab, val = captured["labels"], captured["valid"]
+            mass = {c: val[lab == c].sum() for c in (3, 5, 7)}
+            if balanced:
+                total_b = val.sum()
+                assert np.allclose([mass[3], mass[5], mass[7]],
+                                   total_b / 3, rtol=1e-5), mass
+                # normalization preserved vs the unbalanced call
+                assert np.isclose(total_b, total_u, rtol=1e-6)
+            else:
+                total_u = val.sum()
+                assert mass[3] > 10 * mass[5] > 0  # the imbalance is real
+    finally:
+        hybrid_mod.pixel_text_infonce = orig

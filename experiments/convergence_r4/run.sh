@@ -32,7 +32,7 @@ from rangeclip_tpu.data.synthetic import write_synthetic_dataset
 
 paths = write_synthetic_dataset(
     sys.argv[1] + "/data",
-    n_samples=600,        # deterministic 80/10/10 split (seed-42 law)
+    n_samples=600,        # deterministic 60/20/20 split (seed-42 law)
     shape=(224, 224),     # canonical training resolution
     num_classes=256,      # C=256 (255 candidate labels + 'unavailable')
     seed=11,

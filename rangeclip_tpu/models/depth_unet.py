@@ -460,6 +460,10 @@ def predict_folded(
     ~17 GB of round-trip traffic).  :func:`folded_is_profitable` encodes
     the ~1.5*D crossover; the CLIs' ``--predict_path auto`` uses it.
     """
+    from rangeclip_tpu.ops.pallas.conv_score_topk import (
+        fused_conv_score_topk,
+        fused_conv_topk_applicable,
+    )
     from rangeclip_tpu.ops.pallas.score_topk import fused_score_topk
 
     if depth.ndim == 3:
@@ -500,12 +504,38 @@ def predict_folded(
         preferred_element_type=jnp.float32,
     ).astype(features.dtype)
 
-    scores = jax.lax.conv_general_dilated(
-        features, folded, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    # bf16 TPU fast path (round 5): conv + selection fused in ONE Pallas
+    # kernel — the [N, S] score field never round-trips HBM (1.6 GB
+    # write + 1.6 GB read at the bench config) and the class-major MXU
+    # scores feed selection with no in-register transpose.  Measured
+    # 7.22 -> 5.50 ms for the pair at the bench scale, checksum-identical
+    # (ops/pallas/conv_score_topk.py).  fp32 (parity mode) and
+    # non-128-multiple batches keep the two-program formulation below.
+    use_fused_conv = (
+        (use_tpu_kernels() or interpret)
+        and features.dtype == jnp.bfloat16
+        and fused_conv_topk_applicable(features.shape, folded.shape[-1],
+                                       id_bound)
     )
+    if use_fused_conv:
+        idx, val = fused_conv_score_topk(
+            features, folded, ids, top_k=top_k, want_values=want_values,
+            interpret=interpret,
+        )
+        topk_indices = idx.T.reshape(h, w, B, top_k).transpose(2, 0, 1, 3)
+        if want_values:
+            topk_values = val.T.reshape(h, w, B, top_k).transpose(
+                2, 0, 1, 3)
+        scores = None
+    else:
+        scores = jax.lax.conv_general_dilated(
+            features, folded, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
-    if use_tpu_kernels() or interpret:
+    if use_fused_conv:
+        pass
+    elif use_tpu_kernels() or interpret:
         # Free logical transpose of the conv's {3,0,2,1} output layout —
         # same trick as the default predict path.
         field_t = jnp.transpose(scores, (1, 2, 0, 3))

@@ -956,3 +956,44 @@ def test_fused_ce_4d_vs_flat_bit_equal_at_common_tile(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(g4[0]).reshape(-1, D), np.asarray(g2[0]))
     assert float(g4[1]) == float(g2[1])
+
+
+def test_fused_conv_score_topk_matches_folded_pair():
+    """The round-5 fused conv+selection kernel (conv_score_topk.py — the
+    bf16 B%128 predict_folded fast path) is bit-equal in interpret mode
+    to the two-program formulation it replaces: XLA SAME-conv -> bf16
+    scores -> packed fused_score_topk, including dead (-1) slots, the
+    id tie-break, and the values decode."""
+    from rangeclip_tpu.ops.pallas.conv_score_topk import (
+        fused_conv_score_topk,
+        fused_conv_topk_applicable,
+    )
+    from rangeclip_tpu.ops.pallas.score_topk import fused_score_topk
+
+    rng = np.random.default_rng(0)
+    B, h, w, Cin, S, K = 8, 4, 16, 8, 128, 5
+    feats = jnp.asarray(rng.standard_normal((B, h, w, Cin)),
+                        jnp.float32).astype(jnp.bfloat16)
+    fold = jnp.asarray(rng.standard_normal((3, 3, Cin, S)),
+                       jnp.float32).astype(jnp.bfloat16)
+    ids = jnp.arange(S, dtype=jnp.int32).at[-7:].set(-1)
+
+    scores = jax.lax.conv_general_dilated(
+        feats, fold, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    field_t = jnp.transpose(scores, (1, 2, 0, 3))
+    idx_ref, val_ref = fused_score_topk(
+        field_t, ids, top_k=K, want_values=True, interpret=True,
+        max_id=S - 1)
+
+    idx_f, val_f = fused_conv_score_topk(
+        feats, fold, ids, top_k=K, want_values=True, interpret=True,
+        slice_cols=4)
+    np.testing.assert_array_equal(np.asarray(idx_f).T, np.asarray(idx_ref))
+    np.testing.assert_array_equal(np.asarray(val_f).T, np.asarray(val_ref))
+
+    # the dispatch gate: engaged exactly at the kernel's layout contract
+    assert fused_conv_topk_applicable((128, 128, 128, 32), 384, 383)
+    assert not fused_conv_topk_applicable((8, 128, 128, 32), 384, 383)
+    assert not fused_conv_topk_applicable((128, 128, 128, 32), 384, None)
+    assert not fused_conv_topk_applicable((128, 128, 128, 32), 384, 2 ** 16)

@@ -367,3 +367,19 @@ def test_canonical_predict_lowers(H, B, C, S, top_k, monkeypatch):
                          variables),
             depth, text, idxs,
         )
+
+
+def test_conv_score_topk_lowers():
+    """Round-5 fused conv+selection kernel (predict_folded's bf16 B%128
+    fast path) — also exercised at the bench shape by
+    test_canonical_predict_lowers[256-128-512-384-5]."""
+    from rangeclip_tpu.ops.pallas.conv_score_topk import fused_conv_score_topk
+
+    feats = jnp.zeros((128, 4, 16, 8), jnp.bfloat16)
+    fold = jnp.zeros((3, 3, 8, 128), jnp.bfloat16)
+    ids = jnp.arange(128, dtype=jnp.int32)
+    _export_tpu(
+        lambda f, k, i: fused_conv_score_topk(f, k, i, top_k=5,
+                                              want_values=True)[0],
+        feats, fold, ids,
+    )

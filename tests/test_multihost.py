@@ -123,7 +123,9 @@ def _simulate_single_process(data, n_steps=2):
 
     for tl, _ in loaders:
         tl.set_epoch(1)
-    rng = jax.random.key(1)  # trainer: key(seed + 1)
+    # trainer: POSITIONAL per-step keys fold_in(key(seed + 1), step)
+    # (round-5 bitwise-resume design, trainer.py)
+    rng_root = jax.random.key(1)
     losses = []
     for step_i, (b0, b1) in enumerate(zip(*[tl for tl, _ in loaders])):
         if step_i >= n_steps:
@@ -146,7 +148,7 @@ def _simulate_single_process(data, n_steps=2):
             ).astype(np.float32),
         }
         step_batch = shard_batch(mesh, step_batch, batch_axis=1)
-        rng, step_rng = jax.random.split(rng)
+        step_rng = jax.random.fold_in(rng_root, step_i)
         state, info = train_step(
             state, step_batch, step_rng, jnp.float32(lr),
             jnp.float32(curriculum["pct_medium"]),

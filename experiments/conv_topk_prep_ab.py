@@ -156,13 +156,15 @@ def main():
             return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
         return run
 
-    N_LO, N_HI = 6, 36
+    N_LO, N_HI = 8, 68
+    pairs = {name: (looped(fn, N_LO), looped(fn, N_HI))
+             for name, fn in fns.items()}
+    for lo, hi in pairs.values():  # compile + warm
+        int(jax.device_get(lo(feats, fold, ids)))
+        int(jax.device_get(hi(feats, fold, ids)))
     best = {}
-    for r in range(6):
-        for name, fn in fns.items():
-            lo, hi = looped(fn, N_LO), looped(fn, N_HI)
-            int(jax.device_get(lo(feats, fold, ids)))
-            int(jax.device_get(hi(feats, fold, ids)))
+    for r in range(8):
+        for name, (lo, hi) in pairs.items():
             t0 = time.perf_counter()
             int(jax.device_get(lo(feats, fold, ids)))
             tl = time.perf_counter() - t0

@@ -15,12 +15,15 @@ Layout design (the part that makes it possible at full lane occupancy —
 the all-Pallas head_topk.py attempt died on nine K=C_in matmuls):
 
   * The decoder features [B, h, w, C_in] are pre-transposed on the XLA
-    side to [h, C_in, (w+2)*B] with zero-padded h and w borders (~34 MB
-    relayout, ~0.1 ms).  Rows = C_in (sublane-legal at 32), lanes =
-    (w, B) with B minor — so a conv tap's w-shift is a shift by exactly
-    B = 128 lanes = WHOLE vregs, and the h-shift is a neighboring grid
-    row fetched as two extra BlockSpec views of the same operand
-    (the tv_rowtile halo trick, no clamping needed on the padded array).
+    side to [h, C_in, w*B] (one ~34 MB relayout copy).  Rows = C_in
+    (sublane-legal at 32), lanes = (w, B) with B minor — so a conv tap's
+    w-shift is a shift by exactly B = 128 lanes = WHOLE vregs, and the
+    h-shift is a neighboring grid row fetched as two extra CLAMPED
+    BlockSpec views of the same operand (the tv_rowtile halo trick).
+    Border zeros are produced in-kernel (edge-row wheres + zero
+    lane-blocks in the patch concat): the XLA-padded-operand form pays
+    ~1.3 ms/call of unfusable transpose/pad/copy passes and measured
+    0.55 ms SLOWER in-process (experiments/conv_topk_prep_ab.py).
   * Patches build as a SUBLANE concatenation of the nine shifted
     [C_in, TN] slabs -> [9*C_in, TN] (leading-dim merges are legal;
     there is no lane-splitting reshape anywhere).
@@ -56,10 +59,21 @@ _INT_MIN = -(2 ** 31)
 
 def _kernel(x0_ref, x1_ref, x2_ref, wt_ref, ids_ref, idx_ref,
             val_ref=None, *, top_k: int, n_slices: int, tn: int,
-            lane_b: int):
+            lane_b: int, n_rows: int):
     C_in = x0_ref.shape[1]
     S = wt_ref.shape[0]
-    slabs = (x0_ref[0], x1_ref[0], x2_ref[0])  # [C_in, (w+2)*B] each
+    i = pl.program_id(0)
+    # Borders are handled IN-KERNEL (round-5 in-process A/B,
+    # experiments/conv_topk_prep_ab.py: 5.24 vs 5.79 ms against an
+    # XLA-padded operand — the padded form pays ~1.3 ms of unfusable
+    # transpose/pad/copy passes per call, more than the edge masking
+    # costs).  h halos arrive via CLAMPED index maps; the out-of-image
+    # slab is zeroed at the two h edges, and the out-of-image w column of
+    # the first/last slice is a zero lane-block in the patch concat.
+    zero = jnp.asarray(0, x0_ref.dtype)
+    prev = jnp.where(i == 0, zero, x0_ref[0])
+    nxt = jnp.where(i == n_rows - 1, zero, x2_ref[0])
+    slabs = (prev, x1_ref[0], nxt)  # [C_in, w*B] each
     ids = ids_ref[:].reshape(S, 1)
     add = jnp.int32(0xFFFF) - ids
 
@@ -67,9 +81,18 @@ def _kernel(x0_ref, x1_ref, x2_ref, wt_ref, ids_ref, idx_ref,
         parts = []
         for dy in range(3):
             base = slabs[dy]
-            for dx in range(3):
+            for dx in (-1, 0, 1):
                 lo = s * tn + dx * lane_b
-                parts.append(base[:, lo:lo + tn])
+                if lo < 0:
+                    parts.append(jnp.concatenate(
+                        [jnp.zeros((C_in, lane_b), base.dtype),
+                         base[:, 0:tn - lane_b]], axis=1))
+                elif lo + tn > n_slices * tn:
+                    parts.append(jnp.concatenate(
+                        [base[:, lo:lo + tn - lane_b],
+                         jnp.zeros((C_in, lane_b), base.dtype)], axis=1))
+                else:
+                    parts.append(base[:, lo:lo + tn])
         patches = jnp.concatenate(parts, axis=0)  # [9*C_in, tn]
         scores = jax.lax.dot_general(
             wt_ref[:], patches,
@@ -164,11 +187,9 @@ def fused_conv_score_topk(
         raise ValueError(f"slice_cols {slice_cols} must divide w {w}")
     dtype = features.dtype
 
-    # [B, h, w, C] -> [h, C, w, B], zero-pad h and w borders, merge
-    # (w+2, B) into the lane axis.  One relayout copy on the XLA side.
-    x = jnp.transpose(features, (1, 3, 2, 0))
-    x = jnp.pad(x, ((1, 1), (0, 0), (1, 1), (0, 0)))
-    x = x.reshape(h + 2, C_in, (w + 2) * B)
+    # [B, h, w, C] -> [h, C, w*B]: ONE relayout copy on the XLA side;
+    # all border zero-padding happens in-kernel (see _kernel).
+    x = jnp.transpose(features, (1, 3, 2, 0)).reshape(h, C_in, w * B)
 
     # weight rows ordered (dy, dx, c) to match the patch concat order
     wt = jnp.transpose(folded_kernel, (3, 0, 1, 2)).reshape(S, 9 * C_in)
@@ -187,17 +208,19 @@ def fused_conv_score_topk(
                                       memory_space=pltpu.VMEM))
 
     kernel = functools.partial(
-        _kernel, top_k=top_k, n_slices=n_slices, tn=tn, lane_b=B)
-    row_block = (1, C_in, (w + 2) * B)
+        _kernel, top_k=top_k, n_slices=n_slices, tn=tn, lane_b=B,
+        n_rows=h)
+    row_block = (1, C_in, w * B)
     out = pl.pallas_call(
         kernel,
         grid=(h,),
         in_specs=[
+            pl.BlockSpec(row_block, lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(row_block, lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(row_block, lambda i: (i + 1, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(row_block, lambda i: (i + 2, 0, 0),
+            pl.BlockSpec(row_block,
+                         lambda i: (jnp.minimum(i + 1, h - 1), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, 9 * C_in), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -30,6 +30,7 @@ import numpy as np
 # kernel live OUTSIDE the model.apply scope (predict_folded body), so
 # they are distinguished from the in-model decoder convs by scope.
 BUCKETS = [
+    ("fused head conv+select (Pallas)", r"fused_conv_score_topk"),
     ("score/top-k select (Pallas)", r"pallas_call|score_topk"),
     ("encoder convs", r"depth_encoder"),
     ("decoder convs", r"depth_decoder"),
@@ -141,11 +142,16 @@ def main() -> None:
     peak_fl, peak_by = chip_peak_flops(dev), chip_peak_hbm_bytes(dev)
 
     instrs = parse_hlo_instructions(hlo)
-    # Analytic FLOPs for the Pallas selection custom-call: top-k selection
-    # is compare/select work, not MXU work — leave FLOPs at 0 so the row
-    # is judged against the bandwidth roofline its [N, S] score read
-    # implies (operand/result bytes come from the HLO shapes).
-    rows = roofline_rows(rows_t, instrs, peak_fl, peak_by, {})
+    # Analytic FLOPs: the pure selection kernel is compare/select work
+    # (FLOPs 0 — judged against its bandwidth roofline); the FUSED
+    # conv+select kernel carries the folded conv's real MXU FLOPs
+    # (2 * N * 9*C_in * S at the native field size).
+    n_pix = B * (res // 2) ** 2
+    fused_flops = 2.0 * n_pix * 9 * 32 * args.capacity
+    # key to the pallas_call row only — the prep transpose rows carry the
+    # same jit scope in their op names
+    rows = roofline_rows(rows_t, instrs, peak_fl, peak_by,
+                         {"fused_conv_score_topk)/pallas_call": fused_flops})
 
     def _is_async(r):
         return bool(ASYNC_RE.match(r["instr"])) or (

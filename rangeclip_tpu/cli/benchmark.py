@@ -26,6 +26,7 @@ def cmd_throughput(args) -> None:
         DepthUNetConfig,
         build_candidate_mask,
         folded_is_profitable,
+        fused_head_ok,
     )
     from rangeclip_tpu.training.optim import make_optimizer
     from rangeclip_tpu.training.state import create_train_state
@@ -53,7 +54,9 @@ def cmd_throughput(args) -> None:
             def predict(variables, depth):
                 if args.predict_path == "folded" or (
                     args.predict_path == "auto"
-                    and folded_is_profitable(C, D)
+                    and folded_is_profitable(C, D,
+                                             fused_ok=fused_head_ok(
+                                                 depth.shape[0], C))
                 ):
                     from rangeclip_tpu.models.depth_unet import predict_folded
 
@@ -373,6 +376,7 @@ def cmd_profile(args) -> None:
         DepthUNetConfig,
         build_candidate_indices,
         folded_is_profitable,
+        fused_head_ok,
         predict_folded,
     )
     from rangeclip_tpu.utils.profiling import format_rows, summarize_trace
@@ -395,7 +399,8 @@ def cmd_profile(args) -> None:
         cand = build_candidate_indices(jax.random.key(4), seg, C, 300,
                                        capacity=384)
         folded = args.predict_path == "folded" or (
-            args.predict_path == "auto" and folded_is_profitable(384, D)
+            args.predict_path == "auto" and folded_is_profitable(
+                384, D, fused_ok=fused_head_ok(B, 384))
         )
 
         @jax.jit

@@ -120,6 +120,7 @@ def main(argv=None) -> None:
         DepthUNet,
         DepthUNetConfig,
         folded_is_profitable,
+        fused_head_ok,
         predict_folded,
     )
 
@@ -163,7 +164,9 @@ def main(argv=None) -> None:
 
     folded = args.predict_path == "folded" or (
         args.predict_path == "auto"
-        and folded_is_profitable(num_classes, args.embedding_dim)
+        and folded_is_profitable(num_classes, args.embedding_dim,
+                                 fused_ok=fused_head_ok(args.batch_size,
+                                                        num_classes))
     )
     candidate_mask = jnp.ones((num_classes,), bool)
 

@@ -67,6 +67,7 @@ def main(argv=None) -> None:
         DepthUNet,
         DepthUNetConfig,
         folded_is_profitable,
+        fused_head_ok,
     )
     from rangeclip_tpu.training.checkpoint import CheckpointManager
     from rangeclip_tpu.utils.visualization import colorize_segmentation, label_colors
@@ -100,7 +101,9 @@ def main(argv=None) -> None:
     def predict(variables, depth):
         if args.predict_path == "folded" or (
             args.predict_path == "auto"
-            and folded_is_profitable(num_classes, args.embedding_dim)
+            and folded_is_profitable(num_classes, args.embedding_dim,
+                                     fused_ok=fused_head_ok(
+                                         depth.shape[0], num_classes))
         ):
             # folded head (predict_folded): identical ranking, faster
             # while the candidate count stays under ~1.5x the embedding

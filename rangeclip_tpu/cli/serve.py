@@ -41,6 +41,7 @@ def build_engine(args):
         DepthUNet,
         DepthUNetConfig,
         folded_is_profitable,
+        fused_head_ok,
     )
     from rangeclip_tpu.training.checkpoint import CheckpointManager
     from rangeclip_tpu.training.optim import make_optimizer
@@ -125,7 +126,9 @@ def build_engine(args):
     def predict(variables, depth):
         if args.predict_path == "folded" or (
             args.predict_path == "auto"
-            and folded_is_profitable(num_classes, args.embedding_dim)
+            and folded_is_profitable(num_classes, args.embedding_dim,
+                                     fused_ok=fused_head_ok(
+                                         depth.shape[0], num_classes))
         ):
             # folded head (predict_folded): identical ranking, faster
             # while the candidate count stays under ~1.5x the embedding

@@ -562,15 +562,38 @@ def predict_folded(
     return topk_indices
 
 
-def folded_is_profitable(num_slots: int, embedding_dim: int = 512) -> bool:
+def folded_is_profitable(num_slots: int, embedding_dim: int = 512,
+                         fused_ok: bool = False) -> bool:
     """Should `predict_folded` be used over `predict` for this candidate
     count?  Folding removes the conv-to-D + scoring matmul (wins FLOPs at
     any S) but materializes an [N, S] score field where the default path
     materializes [N, D] (in-register scoring) — HBM traffic grows with S.
     Measured crossover on v5e is around S ~ 1.5*D (S=384 wins ~10%,
-    S=2048 loses ~18%; see predict_folded's docstring)."""
+    S=2048 loses ~18%; see predict_folded's docstring).
+
+    ``fused_ok``: the caller has checked
+    :func:`rangeclip_tpu.ops.pallas.conv_score_topk.fused_conv_topk_applicable`
+    for its batch shape.  The fused conv+select kernel never materializes
+    the [N, S] score field, so the crossover disappears — folding wins at
+    EVERY S (measured at the far end, C=2048 full-table batch 128: fused
+    folded 37.5 ms vs unfolded 60.9 ms in one process, round 5)."""
+    if fused_ok:
+        return True
     padded = -(-num_slots // 128) * 128
     return padded <= (3 * embedding_dim) // 2
+
+
+def fused_head_ok(batch: int, num_slots: int) -> bool:
+    """Convenience pre-check for ``folded_is_profitable(..., fused_ok=)``
+    at dispatch sites that know only (batch, candidate count): the
+    batch-multiple and id-bound conditions of ``fused_conv_topk_
+    applicable``.  The remaining conditions (C_in % 8, S % 128 after
+    padding) are re-checked against REAL shapes inside ``predict_folded``,
+    which silently falls back to the two-program path — so a True here
+    can never select a broken path, only (in exotic configs) a slightly
+    suboptimal one."""
+    padded = -(-num_slots // 128) * 128
+    return batch % 128 == 0 and padded - 1 < 2 ** 16 and use_tpu_kernels()
 
 
 def build_candidate_mask(

@@ -42,6 +42,7 @@ from rangeclip_tpu.models.depth_unet import (
     NEG_INF,
     DepthUNet,
     folded_is_profitable,
+    fused_head_ok,
     predict_folded,
     resize_nearest,
 )
@@ -171,8 +172,10 @@ def make_sharded_predict(
     def local_predict(variables, depth, table_slice, ids_slice):
         fold = predict_path == "folded" or (
             predict_path == "auto"
-            and folded_is_profitable(table_slice.shape[0],
-                                     table_slice.shape[1])
+            and folded_is_profitable(
+                table_slice.shape[0], table_slice.shape[1],
+                fused_ok=fused_head_ok(depth.shape[0],
+                                       table_slice.shape[0]))
         )
         if fold:
             idx, val = predict_folded(

@@ -192,41 +192,55 @@ def test_two_process_training_matches_single_process_simulation(tmp_path):
     env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
 
     worker = os.path.join(TESTS_DIR, "multihost_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port),
-             str(tmp_path / "data"), out_dir],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for i in range(2)
-    ]
-    # Drain both pipes CONCURRENTLY: the workers are coupled by gloo
-    # collectives, so blocking on one's pipe while the other fills its
-    # (undrained) pipe past the OS buffer would deadlock both.
-    outputs = [None] * len(procs)
 
-    def _drain(i, p):
-        outputs[i] = p.communicate()[0]
+    def run_workers(port):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), "2", str(port),
+                 str(tmp_path / "data"), out_dir],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        # Drain both pipes CONCURRENTLY: the workers are coupled by gloo
+        # collectives, so blocking on one's pipe while the other fills
+        # its (undrained) pipe past the OS buffer would deadlock both.
+        outputs = [None] * len(procs)
 
-    threads = [
-        threading.Thread(target=_drain, args=(i, p), daemon=True)
-        for i, p in enumerate(procs)
-    ]
-    for t in threads:
-        t.start()
-    # 1500 s: the two workers take ~330 s alone on this 1-core machine but
-    # have timed out at 900 s under full-suite load (compile-cache misses
-    # compound when other tests ran first)
-    deadline = time.monotonic() + 1500
-    for t in threads:
-        t.join(timeout=max(0.0, deadline - time.monotonic()))
-    if any(t.is_alive() for t in threads):
-        for p in procs:  # kill BOTH so no orphan keeps the port/coordinator
-            p.kill()
+        def _drain(i, p):
+            outputs[i] = p.communicate()[0]
+
+        threads = [
+            threading.Thread(target=_drain, args=(i, p), daemon=True)
+            for i, p in enumerate(procs)
+        ]
         for t in threads:
-            t.join(timeout=60)
-        pytest.fail("multihost workers timed out (killed)")
+            t.start()
+        # 1500 s: the two workers take ~330 s alone on this 1-core
+        # machine but have timed out at 900 s under full-suite load
+        # (compile-cache misses compound when other tests ran first)
+        deadline = time.monotonic() + 1500
+        for t in threads:
+            t.join(timeout=max(0.0, deadline - time.monotonic()))
+        if any(t.is_alive() for t in threads):
+            for p in procs:  # kill BOTH: no orphan keeps the coordinator
+                p.kill()
+            for t in threads:
+                t.join(timeout=60)
+            pytest.fail("multihost workers timed out (killed)")
+        return procs, outputs
+
+    procs, outputs = run_workers(port)
+    # gloo's pair-connect can time out when this 1-core box is saturated
+    # (observed once under full-suite load) — an infra flake, not a
+    # semantics failure: retry ONCE on a fresh port before judging.
+    if any(p.returncode != 0 for p in procs) and any(
+        "Gloo context initialization failed" in (out or "")
+        or "Connect timeout" in (out or "")
+        for out in outputs
+    ):
+        procs, outputs = run_workers(_free_port())
     for i, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
 

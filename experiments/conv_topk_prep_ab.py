@@ -8,8 +8,10 @@ alternative keeps only the transpose and handles borders in-kernel
 comparison said the in-kernel form was SLOWER — but it ran while the CPU
 test suite was saturating the host, and a later rerun of the SAME
 baseline code dropped 6,900 -> 6,051 maps/s, so that reading is void
-(the tunnel/process-contention lesson, CLAUDE.md).  This script settles
-it in ONE process with device-side loop differencing.
+(the tunnel/process-contention lesson, CLAUDE.md).  This script settled
+it in ONE process with device-side loop differencing: edges 5.24 ms vs
+padded 5.79 ms — the in-kernel form SHIPPED (conv_score_topk.py); the
+padded variant lives here for re-measurement.
 
 Run on the TPU machine:  python experiments/conv_topk_prep_ab.py
 """
@@ -35,33 +37,24 @@ B, H, W, CIN, S, K = 128, 128, 128, 32, 384, 5
 SC = 4
 
 
-def _kernel_edges(x0_ref, x1_ref, x2_ref, wt_ref, ids_ref, idx_ref, *,
-                  top_k, n_slices, tn, lane_b, n_rows):
+def _kernel_padded(x0_ref, x1_ref, x2_ref, wt_ref, ids_ref, idx_ref, *,
+                   top_k, n_slices, tn, lane_b, n_rows):
+    """The superseded variant: consumes an XLA-padded [h+2, C, (w+2)B]
+    operand (no in-kernel edge logic) — kept here so the comparison can
+    be re-measured; the SHIPPED kernel is the in-kernel-edges form."""
+    del n_rows
     C_in = x0_ref.shape[1]
     S_ = wt_ref.shape[0]
-    i = pl.program_id(0)
-    zero = jnp.asarray(0, x0_ref.dtype)
-    prev = jnp.where(i == 0, zero, x0_ref[0])
-    nxt = jnp.where(i == n_rows - 1, zero, x2_ref[0])
-    slabs = (prev, x1_ref[0], nxt)
+    slabs = (x0_ref[0], x1_ref[0], x2_ref[0])
     ids = ids_ref[:].reshape(S_, 1)
     add = jnp.int32(0xFFFF) - ids
     for s in range(n_slices):
         parts = []
         for dy in range(3):
             base = slabs[dy]
-            for dx in (-1, 0, 1):
+            for dx in range(3):
                 lo = s * tn + dx * lane_b
-                if lo < 0:
-                    parts.append(jnp.concatenate(
-                        [jnp.zeros((C_in, lane_b), base.dtype),
-                         base[:, 0:tn - lane_b]], axis=1))
-                elif lo + tn > n_slices * tn:
-                    parts.append(jnp.concatenate(
-                        [base[:, lo:lo + tn - lane_b],
-                         jnp.zeros((C_in, lane_b), base.dtype)], axis=1))
-                else:
-                    parts.append(base[:, lo:lo + tn])
+                parts.append(base[:, lo:lo + tn])
         patches = jnp.concatenate(parts, axis=0)
         scores = jax.lax.dot_general(
             wt_ref[:], patches,
@@ -94,25 +87,26 @@ def _kernel_edges(x0_ref, x1_ref, x2_ref, wt_ref, ids_ref, idx_ref, *,
         jax.lax.fori_loop(0, top_k, emit, pool, unroll=True)
 
 
-def fused_edges(features, folded_kernel, ids):
+def fused_padded(features, folded_kernel, ids):
     h, w, C_in = H, W, CIN
-    x = jnp.transpose(features, (1, 3, 2, 0)).reshape(h, C_in, w * B)
+    x = jnp.transpose(features, (1, 3, 2, 0))
+    x = jnp.pad(x, ((1, 1), (0, 0), (1, 1), (0, 0)))
+    x = x.reshape(h + 2, C_in, (w + 2) * B)
     wt = jnp.transpose(folded_kernel, (3, 0, 1, 2)).reshape(S, 9 * C_in)
     wt = wt.astype(features.dtype)
     tn = SC * B
-    kernel = functools.partial(_kernel_edges, top_k=K, n_slices=w // SC,
+    kernel = functools.partial(_kernel_padded, top_k=K, n_slices=w // SC,
                                tn=tn, lane_b=B, n_rows=h)
-    row_block = (1, C_in, w * B)
+    row_block = (1, C_in, (w + 2) * B)
     out = pl.pallas_call(
         kernel,
         grid=(h,),
         in_specs=[
-            pl.BlockSpec(row_block, lambda i: (jnp.maximum(i - 1, 0), 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec(row_block, lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(row_block,
-                         lambda i: (jnp.minimum(i + 1, h - 1), 0, 0),
+            pl.BlockSpec(row_block, lambda i: (i + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(row_block, lambda i: (i + 2, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, 9 * C_in), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -133,12 +127,13 @@ def main():
     ids = jnp.arange(S, dtype=jnp.int32).at[-44:].set(-1)
     jax.block_until_ready((feats, fold))
 
-    def padded(f, k, i):
+    def edges(f, k, i):
+        # the SHIPPED kernel (in-kernel edges since round 5)
         idx, _ = fused_conv_score_topk(f, k, i, top_k=K, slice_cols=SC)
         return jnp.sum(idx.astype(jnp.int32))
 
-    def edges(f, k, i):
-        return jnp.sum(fused_edges(f, k, i).astype(jnp.int32))
+    def padded(f, k, i):
+        return jnp.sum(fused_padded(f, k, i).astype(jnp.int32))
 
     fns = {}
     for name, fn in (("padded", padded), ("edges", edges)):

@@ -526,16 +526,11 @@ def predict_folded(
         if want_values:
             topk_values = val.T.reshape(h, w, B, top_k).transpose(
                 2, 0, 1, 3)
-        scores = None
-    else:
+    elif use_tpu_kernels() or interpret:
         scores = jax.lax.conv_general_dilated(
             features, folded, window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-
-    if use_fused_conv:
-        pass
-    elif use_tpu_kernels() or interpret:
         # Free logical transpose of the conv's {3,0,2,1} output layout —
         # same trick as the default predict path.
         field_t = jnp.transpose(scores, (1, 2, 0, 3))
@@ -547,6 +542,10 @@ def predict_folded(
         if want_values:
             topk_values = val.reshape(h, w, B, top_k).transpose(2, 0, 1, 3)
     else:
+        scores = jax.lax.conv_general_dilated(
+            features, folded, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
         masked = jnp.where(ids >= 0, scores.astype(jnp.float32), NEG_INF)
         topk_values, slot = jax.lax.top_k(masked, top_k)
         topk_indices = jnp.take(ids, slot, axis=0)
